@@ -1,0 +1,125 @@
+"""ResNet-34 encoder (NHWC, XLA convolutions) for the 2D branch.
+
+Capability parity with the reference backbone
+(``/root/reference/experiments_*/rgbd_rgbxyz_sigmoid_for_rgb/2d_net/backbones.py:13-65``):
+
+- torchvision resnet34 trunk with conv1 replaced by a STRIDE-1 7x7 conv (no
+  first downsample; pretrained RGB kernels can be imported via
+  `models.torch_import`),
+- returns 5 skip features at strides 1, 2, 4, 8, 16 with channels
+  (64, 64, 128, 256, 512),
+- dropout p=0.4 after layer3 and layer4,
+- optional frozen batch-norm.
+
+TPU-native: NHWC layout, bf16 compute / fp32 params & BN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int
+    strides: int = 1
+    compute_dtype: Any = jnp.bfloat16
+    frozen_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.strides, self.strides),
+            padding=self.kernel // 2,
+            use_bias=False,
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.frozen_bn:
+            # FrozenBatchNorm2d: affine transform with fixed stats
+            c = x.shape[-1]
+            scale = self.param("bn_scale", nn.initializers.ones, (c,))
+            bias = self.param("bn_bias", nn.initializers.zeros, (c,))
+            mean = self.variable("batch_stats", "bn_mean", jnp.zeros, (c,))
+            var = self.variable("batch_stats", "bn_var", jnp.ones, (c,))
+            y = (x.astype(jnp.float32) - mean.value) * jax.lax.rsqrt(var.value + 1e-5)
+            x = (y * scale + bias).astype(x.dtype)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="bn",
+            )(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    compute_dtype: Any = jnp.bfloat16
+    frozen_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = partial(
+            ConvBN,
+            compute_dtype=self.compute_dtype,
+            frozen_bn=self.frozen_bn,
+        )
+        identity = x
+        y = conv(self.features, 3, self.strides, name="cb1")(x, train)
+        y = nn.relu(y)
+        y = conv(self.features, 3, 1, name="cb2")(y, train)
+        if self.strides != 1 or x.shape[-1] != self.features:
+            identity = conv(self.features, 1, self.strides, name="downsample")(x, train)
+        return nn.relu(y + identity)
+
+
+class ResNet34Encoder(nn.Module):
+    """5-skip ResNet-34 with stride-1 stem (reference backbones.py:43-65)."""
+
+    num_channels: int = 3
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    compute_dtype: Any = jnp.bfloat16
+    frozen_bn: bool = False
+    dropout_rate: float = 0.4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        feats = []
+        x = ConvBN(
+            64, 7, strides=1, compute_dtype=self.compute_dtype,
+            frozen_bn=self.frozen_bn, name="stem",
+        )(x, train)
+        x = nn.relu(x)
+        feats.append(x)  # stride 1, 64ch
+
+        # torch maxpool 3x3 s2 p1
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        widths = (64, 128, 256, 512)
+        for i, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            for b in range(blocks):
+                strides = 2 if (b == 0 and i > 0) else 1
+                x = BasicBlock(
+                    width,
+                    strides,
+                    compute_dtype=self.compute_dtype,
+                    frozen_bn=self.frozen_bn,
+                    name=f"layer{i + 1}_{b}",
+                )(x, train)
+            if i >= 2:  # dropout after layer3 and layer4
+                x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            feats.append(x)
+
+        return feats  # strides 1,2,4,8,16; channels 64,64,128,256,512

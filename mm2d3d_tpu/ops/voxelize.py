@@ -1,0 +1,143 @@
+"""Static-shape voxelization (SparseConvNet InputLayer/OutputLayer equivalent).
+
+Reference semantics (`scn.InputLayer(3, full_scale, mode=4)` +
+`scn.OutputLayer(3)`, used at
+``/root/reference/experiments_*/rgbd_rgbxyz_sigmoid_for_rgb/3d_net/scn_unet.py:113,117``):
+
+- InputLayer deduplicates integer point coordinates into unique voxel sites;
+  mode=4 averages the features of all points falling into the same voxel and
+  remembers the point->voxel map.
+- OutputLayer maps voxel features back to the original points via that map.
+
+TPU-native design: no hash maps.  We sort (batch, x, y, z) pair keys
+(`ops.keys`), mark segment starts, and use sorted segment ops — everything
+has static shapes.  Invalid/padding points are routed to a dump row.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import keys as K
+
+
+@struct.dataclass
+class VoxelGrid:
+    """A deduplicated, sorted voxel table with the point->voxel map.
+
+    Rows [0, num_voxels) are valid and sorted by pair key ascending; the
+    remaining rows are padding (key == INVALID).  ``p2v`` maps each input
+    point to its voxel row, or to ``capacity`` (the dump row) for invalid
+    points.
+    """
+
+    key_hi: jax.Array  # (V,) int32, sorted, INVALID on padding rows
+    key_lo: jax.Array  # (V,) int32
+    coords: jax.Array  # (V, 3) int32 voxel coordinates (0 on padding rows)
+    batch: jax.Array  # (V,) int32 batch index (-1 on padding rows)
+    valid: jax.Array  # (V,) bool
+    num_voxels: jax.Array  # () int32
+    p2v: jax.Array  # (P,) int32 in [0, V]; V = dump row
+    counts: jax.Array  # (V,) int32 points per voxel
+    full_scale: int = struct.field(pytree_node=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.key_hi.shape[0]
+
+
+def voxelize(
+    coords: jax.Array,
+    batch: jax.Array,
+    valid: jax.Array,
+    full_scale: int,
+    capacity: Optional[int] = None,
+) -> VoxelGrid:
+    """Deduplicate integer coords into a sorted voxel table.
+
+    Args:
+      coords: (P, 3) int32 voxel coordinates, expected in [0, full_scale).
+      batch: (P,) int32 batch index per point.
+      valid: (P,) bool mask of real points.
+      full_scale: spatial extent (power of two).
+      capacity: number of voxel rows (default P).  Must be >= the true number
+        of unique voxels; excess unique voxels beyond capacity are dropped
+        (their points map to the dump row).
+    """
+    p = coords.shape[0]
+    v_cap = capacity if capacity is not None else p
+
+    in_range = (coords >= 0).all(-1) & (coords < full_scale).all(-1)
+    valid = valid & in_range
+
+    hi, lo = K.pack(coords, batch, full_scale)
+    hi, lo = K.mask_invalid(hi, lo, valid)
+
+    perm = K.lexsort_pairs(hi, lo)
+    hs, ls = hi[perm], lo[perm]
+    valid_s = hs != K.INVALID
+
+    prev = jnp.maximum(jnp.arange(p) - 1, 0)
+    is_new = (jnp.arange(p) == 0) | (hs != hs[prev]) | (ls != ls[prev])
+    is_new &= valid_s
+
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    num_voxels = jnp.sum(is_new.astype(jnp.int32))
+    # invalid points and overflow voxels -> dump row v_cap
+    seg = jnp.where(valid_s & (seg < v_cap) & (seg >= 0), seg, v_cap)
+
+    nseg = v_cap + 1
+    key_hi = jax.ops.segment_min(
+        hs, seg, num_segments=nseg, indices_are_sorted=True
+    )[:v_cap]
+    key_lo = jax.ops.segment_min(
+        ls, seg, num_segments=nseg, indices_are_sorted=True
+    )[:v_cap]
+    vox_coords = jax.ops.segment_min(
+        coords[perm], seg, num_segments=nseg, indices_are_sorted=True
+    )[:v_cap]
+    counts = jax.ops.segment_sum(
+        jnp.ones((p,), jnp.int32), seg, num_segments=nseg, indices_are_sorted=True
+    )[:v_cap]
+
+    row_valid = jnp.arange(v_cap) < jnp.minimum(num_voxels, v_cap)
+    vox_coords = jnp.where(row_valid[:, None], vox_coords, 0)
+    vox_batch = jnp.where(row_valid, key_hi // full_scale, -1)
+
+    p2v = jnp.zeros((p,), jnp.int32).at[perm].set(seg)
+
+    return VoxelGrid(
+        key_hi=key_hi,
+        key_lo=key_lo,
+        coords=vox_coords,
+        batch=vox_batch.astype(jnp.int32),
+        valid=row_valid,
+        num_voxels=jnp.minimum(num_voxels, v_cap),
+        p2v=p2v,
+        counts=counts,
+        full_scale=full_scale,
+    )
+
+
+def pool_features(grid: VoxelGrid, feats: jax.Array, mode: str = "mean") -> jax.Array:
+    """Pool per-point features into voxel rows (InputLayer mode=4 -> "mean")."""
+    v = grid.capacity
+    total = jax.ops.segment_sum(feats, grid.p2v, num_segments=v + 1)[:v]
+    if mode == "sum":
+        return total
+    if mode == "mean":
+        denom = jnp.maximum(grid.counts, 1).astype(feats.dtype)[:, None]
+        return total / denom
+    raise ValueError(f"unknown pooling mode {mode!r}")
+
+
+def unpool_features(grid: VoxelGrid, voxel_feats: jax.Array) -> jax.Array:
+    """Gather voxel features back to points (OutputLayer). Invalid -> zeros."""
+    padded = jnp.concatenate(
+        [voxel_feats, jnp.zeros((1, voxel_feats.shape[-1]), voxel_feats.dtype)], 0
+    )
+    return padded[grid.p2v]

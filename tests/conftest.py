@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax import.
+
+Multi-device sharding tests run on virtual CPU devices
+(xla_force_host_platform_device_count), no real TPU slice needed.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,117 @@
+"""Sparse conv ops vs brute-force numpy oracles.
+
+Oracle semantics follow SparseConvNet:
+- SubmanifoldConvolution(3, a, b, 3, False): output at active sites only,
+  summing W_k @ f[site + off_k] over active neighbors.
+- Convolution(3, a, b, 2, 2, False): coarse site active iff >=1 active child;
+  output sums over its active children's taps.
+- Deconvolution(3, a, b, 2, 2, False): restores fine sites; each fine site
+  reads its parent through its tap matrix.
+(cf. /root/reference/.../3d_net/scn_unet.py:26-87)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mm2d3d_tpu.ops.hierarchy import (
+    OFFSETS_8,
+    OFFSETS_27,
+    build_hierarchy,
+)
+from mm2d3d_tpu.ops.spconv import down_conv2, subm_conv3, up_conv2
+from mm2d3d_tpu.ops.voxelize import voxelize
+
+FULL_SCALE = 32
+
+
+def _setup(rng, p=200, b=2, cin=6):
+    coords = rng.randint(0, FULL_SCALE, size=(p, 3)).astype(np.int32)
+    # cluster points so neighbors actually exist
+    coords[p // 2 :] = np.clip(
+        coords[rng.randint(0, p // 2, p - p // 2)]
+        + rng.randint(-1, 2, (p - p // 2, 3)),
+        0,
+        FULL_SCALE - 1,
+    )
+    batch = rng.randint(0, b, size=(p,)).astype(np.int32)
+    valid = rng.rand(p) < 0.9
+    grid = voxelize(jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), FULL_SCALE)
+    hier = build_hierarchy(grid, num_levels=3)
+    lvl0 = hier.levels[0]
+    nvox = int(lvl0.num_voxels)
+    feats = rng.randn(lvl0.capacity, cin).astype(np.float32)
+    feats[nvox:] = 0.0
+    return hier, feats, nvox
+
+
+def _sites(level):
+    n = int(level.num_voxels)
+    c = np.asarray(level.coords)[:n]
+    b = np.asarray(level.batch)[:n]
+    return {(b[i], *c[i]): i for i in range(n)}
+
+
+def test_subm_conv_oracle(rng):
+    hier, feats, nvox = _setup(rng)
+    lvl = hier.levels[0]
+    cin, cout = feats.shape[1], 5
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+
+    out = np.asarray(subm_conv3(jnp.asarray(feats), lvl, jnp.asarray(w), compute_dtype=jnp.float32))
+
+    table = _sites(lvl)
+    for key, i in list(table.items())[:50]:
+        bidx, x, y, z = key
+        expect = np.zeros(cout, np.float32)
+        for k, (dx, dy, dz) in enumerate(OFFSETS_27):
+            nk = (bidx, x + dx, y + dy, z + dz)
+            j = table.get(nk)
+            if j is not None:
+                expect += feats[j] @ w[k]
+        np.testing.assert_allclose(out[i], expect, rtol=1e-4, atol=1e-4)
+    # padding rows produce zeros
+    np.testing.assert_allclose(out[nvox:], 0.0, atol=1e-6)
+
+
+def test_down_up_conv_oracle(rng):
+    hier, feats, nvox = _setup(rng)
+    lvl0, lvl1 = hier.levels[0], hier.levels[1]
+    trans = hier.transitions[0]
+    cin, cout = feats.shape[1], 4
+    w = rng.randn(8, cin, cout).astype(np.float32) * 0.1
+
+    down = np.asarray(down_conv2(jnp.asarray(feats), trans, jnp.asarray(w), compute_dtype=jnp.float32))
+
+    fine = _sites(lvl0)
+    coarse = _sites(lvl1)
+    # coarse active set == unique fine>>1
+    assert set(coarse.keys()) == {(b, x // 2, y // 2, z // 2) for b, x, y, z in fine}
+
+    for key, i in list(coarse.items())[:40]:
+        bidx, x, y, z = key
+        expect = np.zeros(cout, np.float32)
+        for k, (dx, dy, dz) in enumerate(OFFSETS_8):
+            ck = (bidx, 2 * x + dx, 2 * y + dy, 2 * z + dz)
+            j = fine.get(ck)
+            if j is not None:
+                expect += feats[j] @ w[k]
+        np.testing.assert_allclose(down[i], expect, rtol=1e-4, atol=1e-4)
+
+    # up: each fine site reads its parent through its tap
+    cfeats = rng.randn(lvl1.capacity, cout).astype(np.float32)
+    cfeats[int(lvl1.num_voxels):] = 0.0
+    w_up = rng.randn(8, cout, 3).astype(np.float32) * 0.1
+    up = np.asarray(up_conv2(jnp.asarray(cfeats), trans, jnp.asarray(w_up), compute_dtype=jnp.float32))
+    for key, i in list(fine.items())[:40]:
+        bidx, x, y, z = key
+        pj = coarse[(bidx, x // 2, y // 2, z // 2)]
+        k = 4 * (x & 1) + 2 * (y & 1) + (z & 1)
+        np.testing.assert_allclose(up[i], cfeats[pj] @ w_up[k], rtol=1e-4, atol=1e-4)
+
+
+def test_hierarchy_levels_shrink(rng):
+    hier, _, _ = _setup(rng, p=400)
+    counts = [int(l.num_voxels) for l in hier.levels]
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    assert hier.levels[1].full_scale == FULL_SCALE // 2
+    assert hier.levels[2].full_scale == FULL_SCALE // 4

@@ -1,0 +1,177 @@
+"""Shared dataset machinery: pickle-backed scan lists, label merging,
+pseudo-label handling, static-shape padding, and collation to PointBatch.
+
+Replaces the reference's torch Dataset/collate stack
+(``lib/dataset/__init__.py:27-130``, ``lib/dataset/nuscenes_dataloader.py:20-177``)
+with plain-numpy samples padded to a fixed per-sample capacity — the layout
+the TPU path consumes directly.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import pickle
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..train.batch import PointBatch
+from .pseudo_labels import load_and_refine_pseudo_labels
+
+IGNORE = -100
+
+
+class ScanListDataset:
+    """Base: loads per-split pickle lists of scan dicts + optional pseudo labels.
+
+    Mirrors NuScenesLidarSegBase-style behavior (nuscenes_dataloader.py:62-177):
+    - ``split`` is a tuple of split names; ``<split>.pkl`` files are
+      concatenated;
+    - ``short_run``/``reduce_factor`` subsample the train list deterministically
+      (sorted by camera path);
+    - ``pselab_paths`` loads + refines 2D/3D/ensemble pseudo labels;
+    - ``label_mapping`` maps raw class ids to merged training ids (-100 drop).
+    """
+
+    class_names: List[str] = []
+    categories: Dict[str, List[str]] = {}
+
+    def __init__(
+        self,
+        split: Sequence[str],
+        preprocess_dir: str,
+        merge_classes: bool = True,
+        pselab_paths: Optional[str] = None,
+        short_run: bool = False,
+        reduce_factor: int = 1,
+    ):
+        self.split = tuple(split)
+        self.preprocess_dir = preprocess_dir
+        self.data: List[Dict[str, Any]] = []
+        for s in self.split:
+            with open(osp.join(preprocess_dir, s + ".pkl"), "rb") as f:
+                self.data.extend(pickle.load(f))
+
+        if short_run and self.split and "train" in self.split[0]:
+            order = sorted(
+                range(len(self.data)),
+                key=lambda i: self.data[i].get("camera_path", str(i)),
+            )
+            self.data = [self.data[i] for idx, i in enumerate(order) if idx % reduce_factor == 0]
+
+        self.pselab_data = None
+        if pselab_paths:
+            self.pselab_data = load_and_refine_pseudo_labels(
+                pselab_paths, expected_lengths=[len(d["seg_labels"]) for d in self.data]
+            )
+
+        if merge_classes:
+            self.label_mapping = np.full(len(self.class_names), IGNORE, np.int64)
+            for cat_idx, cat_list in enumerate(self.categories.values()):
+                for name in cat_list:
+                    self.label_mapping[self.class_names.index(name)] = cat_idx
+            self.merged_class_names = list(self.categories.keys())
+        else:
+            self.label_mapping = None
+            self.merged_class_names = list(self.class_names)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.merged_class_names)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def map_labels(self, labels: np.ndarray) -> np.ndarray:
+        labels = labels.astype(np.int64)
+        if self.label_mapping is None:
+            return labels
+        return self.label_mapping[labels]
+
+    def attach_pseudo_labels(self, out: Dict[str, Any], index: int, idxs: np.ndarray):
+        if self.pselab_data is None:
+            return
+        ps = self.pselab_data[index]
+        out["pseudo_label_2d"] = ps["pseudo_label_2d"][idxs]
+        out["pseudo_label_3d"] = (
+            None if ps["pseudo_label_3d"] is None else ps["pseudo_label_3d"][idxs]
+        )
+        out["pseudo_label_ensemble"] = ps["pseudo_label_ensemble"][idxs]
+
+
+def compute_class_weights(dataset: ScanListDataset) -> np.ndarray:
+    """Log-smoothed class weights (nuscenes_dataloader.py:421-441):
+    log(5 * total / per_class), normalized by the minimum."""
+    num_classes = dataset.num_classes
+    counts = np.zeros(num_classes, np.int64)
+    for rec in dataset.data:
+        labels = dataset.map_labels(rec["seg_labels"])
+        counts += np.bincount(labels[labels != IGNORE], minlength=num_classes)
+    w = np.log(5 * counts.sum() / np.maximum(counts, 1))
+    return w / w.min()
+
+
+# --------------------------------------------------------------------------
+# Static-shape padding + collation
+# --------------------------------------------------------------------------
+
+def pad_sample(sample: Dict[str, Any], n_points: int) -> Dict[str, Any]:
+    """Pad/truncate point-indexed arrays to exactly ``n_points`` rows.
+
+    Adds ``point_mask``; padded labels are -100.  Truncation keeps the first
+    n_points points and records the overflow in ``n_dropped``.
+    """
+    n = len(sample["coords"])
+    keep = min(n, n_points)
+    out = dict(sample)
+    out["n_dropped"] = max(0, n - n_points)
+
+    def pad(arr, fill=0):
+        arr = np.asarray(arr)[:keep]
+        if keep == n_points:
+            return arr
+        pad_width = [(0, n_points - keep)] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad_width, constant_values=fill)
+
+    out["coords"] = pad(sample["coords"])
+    out["img_indices"] = pad(sample["img_indices"])
+    out["feats"] = pad(sample["feats"])
+    out["seg_label"] = pad(sample["seg_label"], fill=IGNORE)
+    if "points" in sample:
+        out["points"] = pad(sample["points"])
+    for key in ("pseudo_label_2d", "pseudo_label_3d", "pseudo_label_ensemble"):
+        if sample.get(key) is not None:
+            out[key] = pad(sample[key], fill=IGNORE)
+    mask = np.zeros(n_points, bool)
+    mask[:keep] = True
+    out["point_mask"] = mask
+    return out
+
+
+def collate(samples: List[Dict[str, Any]], n_points: int) -> PointBatch:
+    """Stack padded samples into a PointBatch (static shapes)."""
+    padded = [pad_sample(s, n_points) for s in samples]
+
+    def stack(key, dtype=None, required=True):
+        if not required and padded[0].get(key) is None:
+            return None
+        arr = np.stack([p[key] for p in padded])
+        return arr if dtype is None else arr.astype(dtype)
+
+    img = stack("img", np.float32)
+    depth = stack("depth", np.float32)
+    if depth.ndim == 3:
+        depth = depth[..., None]
+    return PointBatch(
+        img=img,
+        depth=depth,
+        img_indices=stack("img_indices", np.int32),
+        coords=stack("coords", np.int32),
+        feats=stack("feats", np.float32),
+        seg_label=stack("seg_label", np.int32),
+        point_mask=stack("point_mask"),
+        seg_labels_2d=stack("seg_labels_2d", np.int32, required=False),
+        pseudo_label_2d=stack("pseudo_label_2d", np.int32, required=False),
+        pseudo_label_3d=stack("pseudo_label_3d", np.int32, required=False),
+        pseudo_label_ensemble=stack("pseudo_label_ensemble", np.int32, required=False),
+    )

@@ -1,0 +1,122 @@
+"""Host-side data loading: worker pools, deterministic RNG, batch assembly.
+
+Replaces torch DataLoader + Lightning's "max_size_cycle" multi-loader
+(``lib/dataset/__init__.py:299-389``, ``run.py:280-282``) with a fork-based
+worker pool that materializes statically padded `PointBatch`es.  Per-sample
+RNG is derived from (seed, epoch, index) so runs are reproducible regardless
+of worker scheduling (the reference seeds each worker once, making sample
+augmentations depend on worker assignment).
+"""
+
+from __future__ import annotations
+
+import itertools
+from multiprocessing import get_context
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..train.batch import PointBatch
+from .base import collate
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(args):
+    index, seed = args
+    rng = np.random.RandomState(seed)
+    return _WORKER_DATASET.__getitem__(index, rng=rng)
+
+
+class Loader:
+    """Iterates a dataset as PointBatches; one epoch per __iter__ call."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        n_points: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_workers: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.n_points = n_points
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = num_workers
+        self.epoch = 0
+        self._pool = None
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _sample_seed(self, index: int) -> int:
+        return (self.seed * 1_000_003 + self.epoch * 97 + index) % (2**31 - 1)
+
+    def _pool_handle(self):
+        if self.num_workers > 0 and self._pool is None:
+            ctx = get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_worker_init, initargs=(self.dataset,)
+            )
+        return self._pool
+
+    def __iter__(self) -> Iterator[PointBatch]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        pool = self._pool_handle()
+        if pool is None:
+            for idxs in batches:
+                samples = [
+                    self.dataset.__getitem__(
+                        int(i), rng=np.random.RandomState(self._sample_seed(int(i)))
+                    )
+                    for i in idxs
+                ]
+                yield collate(samples, self.n_points)
+        else:
+            args = [(int(i), self._sample_seed(int(i))) for b in batches for i in b]
+            it = pool.imap(_worker_get, args, chunksize=1)
+            for idxs in batches:
+                samples = [next(it) for _ in idxs]
+                yield collate(samples, self.n_points)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+
+def max_size_cycle(source: Loader, target: Loader):
+    """Pair source/target batches, cycling the shorter loader (Lightning's
+    multiple_trainloader_mode="max_size_cycle")."""
+    n = max(len(source), len(target))
+    src_it = itertools.chain.from_iterable(itertools.repeat(source))
+    trg_it = itertools.chain.from_iterable(itertools.repeat(target))
+    for _ in range(n):
+        yield next(src_it), next(trg_it)

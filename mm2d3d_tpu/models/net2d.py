@@ -1,0 +1,151 @@
+"""Dual-encoder 2D U-Net (RGB + sparse depth) with 2D->3D lifting.
+
+Capability parity with the reference Net2DSeg
+(``/root/reference/experiments_*/rgbd_rgbxyz_sigmoid_for_rgb/2d_net/model.py:35-180``):
+
+- two ResNet-34 encoders: RGB (importable pretrained weights) and depth
+  (1 channel, from scratch), both with stride-1 stems;
+- decoder: 4 ConvTranspose up-stages; each stage concatenates
+  [depth skip, upsampled, rgb skip] (3x channels) then 3x3 conv+BN+ReLU;
+  final 3x3 conv (no BN/ReLU) to 64 channels ("segm_last");
+- main head: 5x5 avg-pool (stride 1, count_include_pad) + 1x1 conv to
+  per-class logits at full resolution, lifted to the LiDAR points;
+- aux head (L2G_classifier_2D): its own avg-pool + 1x1 conv over segm_last,
+  also lifted ("seg_logit_avg").
+
+TPU-native: NHWC, static input padding to a multiple of 16, batched gather
+lifting (`ops.lifting`) instead of per-sample Python loops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.lifting import lift_image_features
+from .resnet2d import ResNet34Encoder
+
+
+def _avg_pool_5x5(x: jax.Array) -> jax.Array:
+    # torch AvgPool2d((5,5), stride 1, padding 2) with count_include_pad=True:
+    # zero-pad then divide by the full window size.
+    return nn.avg_pool(
+        x, (5, 5), strides=(1, 1), padding=((2, 2), (2, 2)), count_include_pad=True
+    )
+
+
+class UpStage(nn.Module):
+    """ConvTranspose(k2,s2) + BN + ReLU (the reference's dec_t_conv_stage*)."""
+
+    features: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(
+            self.features,
+            (2, 2),
+            strides=(2, 2),
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            name="tconv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class FuseStage(nn.Module):
+    """3x3 conv + BN + ReLU over [depth skip, up, rgb skip] concat."""
+
+    features: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features, (3, 3), padding=1,
+            dtype=self.compute_dtype, param_dtype=jnp.float32, name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class Net2DSeg(nn.Module):
+    num_classes: int
+    frozen_batch_norm: bool = False
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jax.Array,  # (B, H, W, 3) float
+        depth: jax.Array,  # (B, H, W, 1) sparse depth map
+        img_indices: jax.Array,  # (B, N, 2) int32
+        point_mask: jax.Array,  # (B, N) bool
+        train: bool = False,
+    ) -> Tuple[Dict[str, jax.Array], jax.Array, Dict[str, jax.Array]]:
+        h, w = img.shape[1], img.shape[2]
+        pad_h = (-h) % 16
+        pad_w = (-w) % 16
+        if pad_h or pad_w:
+            pad = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+            img = jnp.pad(img, pad)
+            depth = jnp.pad(depth, pad)
+
+        rgb_feats = ResNet34Encoder(
+            num_channels=3,
+            compute_dtype=self.compute_dtype,
+            frozen_bn=self.frozen_batch_norm,
+            name="rgb_backbone",
+        )(img.astype(self.compute_dtype), train)
+        depth_feats = ResNet34Encoder(
+            num_channels=1,
+            compute_dtype=self.compute_dtype,
+            name="depth_backbone",
+        )(depth.astype(self.compute_dtype), train)
+
+        # decoder (channels mirror the reference: 512*2 -> 256 -> ... -> 64)
+        x = UpStage(256, self.compute_dtype, name="up5")(
+            jnp.concatenate([depth_feats[4], rgb_feats[4]], -1), train
+        )
+        x = FuseStage(256, self.compute_dtype, name="fuse4")(
+            jnp.concatenate([depth_feats[3], x, rgb_feats[3]], -1), train
+        )
+        x = UpStage(128, self.compute_dtype, name="up4")(x, train)
+        x = FuseStage(128, self.compute_dtype, name="fuse3")(
+            jnp.concatenate([depth_feats[2], x, rgb_feats[2]], -1), train
+        )
+        x = UpStage(64, self.compute_dtype, name="up3")(x, train)
+        x = FuseStage(64, self.compute_dtype, name="fuse2")(
+            jnp.concatenate([depth_feats[1], x, rgb_feats[1]], -1), train
+        )
+        x = UpStage(64, self.compute_dtype, name="up2")(x, train)
+        x = nn.Conv(
+            64, (3, 3), padding=1, dtype=self.compute_dtype,
+            param_dtype=jnp.float32, name="dec_conv_stage1",
+        )(jnp.concatenate([depth_feats[0], x, rgb_feats[0]], -1))
+
+        segm_last = x[:, :h, :w, :].astype(jnp.float32)  # crop padding
+
+        # main head
+        y = _avg_pool_5x5(segm_last)
+        seg_logit_2d = nn.Conv(self.num_classes, (1, 1), name="head_conv")(y)
+        seg_logit = lift_image_features(seg_logit_2d, img_indices, point_mask)
+
+        # aux head (L2G_classifier_2D)
+        a = _avg_pool_5x5(segm_last)
+        seg_logit_avg_2d = nn.Conv(self.num_classes, (1, 1), name="aux_conv")(a)
+        seg_logit_avg = lift_image_features(seg_logit_avg_2d, img_indices, point_mask)
+
+        preds = {"seg_logit": seg_logit, "seg_logit_2d": seg_logit_2d}
+        aux = {"seg_logit_avg": seg_logit_avg, "seg_logit_avg_2d": seg_logit_avg_2d}
+        return preds, segm_last, aux

@@ -72,23 +72,94 @@ class Hierarchy:
     transitions: Tuple[LevelTransition, ...]  # len = len(levels) - 1
 
 
+def _offset_index(dx: int, dy: int, dz: int) -> int:
+    return (dx + 1) * 9 + (dy + 1) * 3 + (dz + 1)
+
+
 def build_nbr(grid: VoxelGrid) -> jax.Array:
-    """27-neighbor index table for submanifold 3x3x3 convolution."""
+    """27-neighbor index table for submanifold 3x3x3 convolution.
+
+    Exploits the sorted voxel table instead of 27 independent hash probes
+    (SparseConvNet) or 27 binary searches:
+
+    - Keys are (b, x, y) major and z minor, so for each of the four
+      "half-space" (dx, dy) groups [(-1,-1), (-1,0), (-1,1), (0,-1)] ONE
+      binary search locates the (dx, dy, 0) query; the dz = -1/0/+1
+      neighbors then sit at adjacent rows (u-1, u, u+1) and are resolved by
+      O(1) key probes.
+    - (0, 0, ±1) neighbors are probes of rows v∓1 — no search at all.
+    - The remaining 13 offsets are the negations of computed ones:
+      nbr[u, 26-k] = v  ⟺  nbr[v, k] = u, filled by scatter.
+
+    Net: 4 binary searches per level instead of 27, and the searches run on
+    V-length query vectors instead of 27*V.
+    """
     v = grid.capacity
     fs = grid.full_scale
-    offs = jnp.asarray(OFFSETS_27)
-    qc = grid.coords[:, None, :] + offs[None, :, :]  # (V, 27, 3)
-    ok = (
-        grid.valid[:, None]
-        & (qc >= 0).all(-1)
-        & (qc < fs).all(-1)
-    )
-    hi_q = grid.batch[:, None] * fs + qc[..., 0]
-    lo_q = qc[..., 1] * fs + qc[..., 2]
-    hi_q, lo_q = K.mask_invalid(hi_q, lo_q, ok)
-    nbr = K.lookup_pairs(
-        grid.key_hi, grid.key_lo, hi_q.reshape(-1), lo_q.reshape(-1), missing=v
-    ).reshape(v, 27)
+    hi_s, lo_s = grid.key_hi, grid.key_lo
+    x, y, z = grid.coords[:, 0], grid.coords[:, 1], grid.coords[:, 2]
+    rows = jnp.arange(v, dtype=jnp.int32)
+
+    keys2 = jnp.stack([hi_s, lo_s], axis=1)  # (V, 2); row gathers are fast
+
+    def probe(idx, q_hi, q_lo, ok):
+        """Exact-match check of table row `idx` against query keys."""
+        in_table = (idx >= 0) & (idx < v)
+        idx_c = jnp.clip(idx, 0, v - 1)
+        kp = keys2[idx_c]
+        hit = in_table & ok & K.pairs_equal(kp[:, 0], kp[:, 1], q_hi, q_lo)
+        return jnp.where(hit, idx_c, v)
+
+    cols = {}
+
+    # center: the row itself
+    cols[_offset_index(0, 0, 0)] = jnp.where(grid.valid, rows, v)
+
+    # (0, 0, ±1): adjacent rows of v
+    for dz in (-1, 1):
+        ok = grid.valid & (z + dz >= 0) & (z + dz < fs)
+        q_hi = grid.batch * fs + x
+        q_lo = y * fs + (z + dz)
+        cols[_offset_index(0, 0, dz)] = probe(rows + dz, q_hi, q_lo, ok)
+
+    # four half-space (dx, dy) groups: one search + adjacent-row probes
+    for dx, dy in ((-1, -1), (-1, 0), (-1, 1), (0, -1)):
+        ok_xy = (
+            grid.valid
+            & (x + dx >= 0) & (x + dx < fs)
+            & (y + dy >= 0) & (y + dy < fs)
+        )
+        q_hi = grid.batch * fs + (x + dx)
+        q_lo0 = (y + dy) * fs + z
+        s_hi, s_lo = K.mask_invalid(q_hi, q_lo0, ok_xy)
+        u = K.searchsorted_pairs(hi_s, lo_s, s_hi, s_lo)  # (V,) insertion pts
+
+        for dz in (-1, 0, 1):
+            ok = ok_xy & (z + dz >= 0) & (z + dz < fs)
+            q_lo = q_lo0 + dz
+            if dz == -1:
+                hit = probe(u - 1, q_hi, q_lo, ok)
+            elif dz == 0:
+                hit = probe(u, q_hi, q_lo, ok)
+            else:
+                # q+1z sits at u (if q absent) or u+1 (if q present)
+                hit_a = probe(u, q_hi, q_lo, ok)
+                hit_b = probe(u + 1, q_hi, q_lo, ok)
+                hit = jnp.minimum(hit_a, hit_b)
+            cols[_offset_index(dx, dy, dz)] = hit
+
+    # assemble computed half into the table, then invert for the rest:
+    # nbr[v, k] = u  ⟺  nbr[u, 26 - k] = v
+    nbr = jnp.full((v, 27), v, jnp.int32)
+    for k, col in cols.items():
+        nbr = nbr.at[:, k].set(col)
+    for k in sorted(cols):
+        if k == _offset_index(0, 0, 0):
+            continue
+        col = cols[k]
+        matched = col < v
+        src = jnp.where(matched, col, v)  # scatter target row (v = dropped)
+        nbr = nbr.at[src, 26 - k].set(jnp.where(matched, rows, v), mode="drop")
     return nbr
 
 

@@ -1,0 +1,71 @@
+"""Static-shape batch structures + per-step topology construction.
+
+Replaces the reference's ragged SCN collate
+(``lib/dataset/__init__.py:27-130``: concatenated variable-length point
+clouds + Python lists of per-sample index arrays) with fixed-capacity padded
+arrays — the TPU-native layout.  Every sample is padded to ``n_points``
+points; ``point_mask`` marks real entries; labels on padding are -100 so
+losses/metrics ignore them automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.hierarchy import Hierarchy, build_hierarchy
+from ..ops.voxelize import VoxelGrid, voxelize
+
+
+@struct.dataclass
+class PointBatch:
+    """One (mini)batch of RGB+LiDAR pairs with static shapes."""
+
+    img: jax.Array  # (B, H, W, 3) float32
+    depth: jax.Array  # (B, H, W, 1) float32 sparse depth map
+    img_indices: jax.Array  # (B, N, 2) int32 (row, col)
+    coords: jax.Array  # (B, N, 3) int32 voxel coords
+    feats: jax.Array  # (B, N, C) float32 per-point features (RGB or ones)
+    seg_label: jax.Array  # (B, N) int32, -100 = ignore/padding
+    point_mask: jax.Array  # (B, N) bool
+    seg_labels_2d: Optional[jax.Array] = None  # (B, H, W) int32
+    pseudo_label_2d: Optional[jax.Array] = None  # (B, N) int32
+    pseudo_label_3d: Optional[jax.Array] = None  # (B, N) int32
+    pseudo_label_ensemble: Optional[jax.Array] = None  # (B, N) int32
+
+    @property
+    def batch_size(self) -> int:
+        return self.img.shape[0]
+
+    @property
+    def n_points(self) -> int:
+        return self.coords.shape[1]
+
+
+def flatten_points(batch: PointBatch):
+    """(B, N, ...) -> (B*N, ...) plus per-point batch indices."""
+    b, n = batch.coords.shape[:2]
+    coords = batch.coords.reshape(b * n, 3)
+    feats = batch.feats.reshape(b * n, -1)
+    labels = batch.seg_label.reshape(b * n)
+    mask = batch.point_mask.reshape(b * n)
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    return coords, feats, labels, mask, bidx
+
+
+def build_topology(
+    batch: PointBatch, full_scale: int, num_levels: int
+) -> Tuple[VoxelGrid, Hierarchy]:
+    """Voxelize the batch and build the sparse U-Net hierarchy.
+
+    Pure function of integer data — built once per step, shared by forward
+    and backward and by every conv layer (the reference's SCN rebuilds
+    rulebooks per layer per call).
+    """
+    coords, _, _, mask, bidx = flatten_points(batch)
+    grid = voxelize(coords, bidx, mask, full_scale)
+    hier = build_hierarchy(grid, num_levels)
+    return grid, hier

@@ -1,0 +1,228 @@
+"""Training orchestration: fit/validate/test loop, checkpointing, resume.
+
+Functional equivalent of the reference's Lightning harness
+(``experiments_*/rgbd_rgbxyz_sigmoid_for_rgb/run.py:37-305`` +
+``train.py:341-489``):
+
+- per-epoch loop over paired source/target batches (max_size_cycle);
+- validation every ``check_val_every_n_epoch`` on [target-val, target-test]
+  loaders, printing per-class IoUs for 2D/3D/ensemble;
+- model selection: best ``val/target/iou`` (2D checkpoint) and
+  ``val/target/iou_3d`` (3D checkpoint), plus ``last`` for resume — via
+  orbax; best-IoU scalars persist in checkpoint metadata
+  (on_save_checkpoint equivalent, train.py:475-489);
+- resume from ``ckpts/last`` (run.py:132-140);
+- fit then test (run.py:291-301).
+
+All device work is the jitted steps from `train.step`; this file is plain
+Python orchestration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import Loader, max_size_cycle
+from .metrics import iou_per_class
+from .step import EvalMetrics, MM2D3DTask, TrainState
+
+
+class CheckpointIO:
+    """last/best_2d/best_3d checkpoints + metadata via orbax."""
+
+    def __init__(self, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+
+        self.dir = osp.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return osp.join(self.dir, name)
+
+    def save(self, name: str, state: TrainState, meta: Dict):
+        path = self._path(name)
+        self._ckpt.save(path, state, force=True)
+        self._ckpt.wait_until_finished()  # orbax saves are async
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+    def restore(self, name: str, template: TrainState):
+        path = self._path(name)
+        state = self._ckpt.restore(path, template)
+        meta = {}
+        if osp.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                meta = json.load(f)
+        return state, meta
+
+    def exists(self, name: str) -> bool:
+        return osp.exists(self._path(name))
+
+
+class Trainer:
+    def __init__(
+        self,
+        task: MM2D3DTask,
+        source_loader: Loader,
+        target_loader: Loader,
+        val_loader: Optional[Loader] = None,
+        test_loader: Optional[Loader] = None,
+        ckpt_dir: str = "ckpts",
+        max_epochs: int = 1,
+        check_val_every_n_epoch: int = 1,
+        class_names=None,
+        logger=None,
+        seed: int = 42,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        fast_dev_run: bool = False,
+    ):
+        self.task = task
+        self.source_loader = source_loader
+        self.target_loader = target_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.ckpt = CheckpointIO(ckpt_dir)
+        self.max_epochs = max_epochs
+        self.check_val_every = check_val_every_n_epoch
+        self.class_names = class_names or [
+            f"class_{i}" for i in range(task.num_classes)
+        ]
+        self.logger = logger
+        self.seed = seed
+        self.limit_train_batches = 2 if fast_dev_run else limit_train_batches
+        self.limit_val_batches = 2 if fast_dev_run else limit_val_batches
+        if fast_dev_run:
+            self.max_epochs = 1
+
+        self.global_step = 0
+        self.start_epoch = 0
+        self.best = {
+            "best_target_iou": 0.0,
+            "best_target_iou_3d": 0.0,
+            "best_target_iou_avg": 0.0,
+        }
+        self.state: Optional[TrainState] = None
+        self._rng = jax.random.PRNGKey(seed)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def init_or_resume(self, example_batch, resume: bool = False):
+        self.state = self.task.init_state(jax.random.PRNGKey(self.seed), example_batch)
+        if resume and self.ckpt.exists("last"):
+            self.state, meta = self.ckpt.restore("last", self.state)
+            self.best.update(meta.get("best", {}))
+            self.start_epoch = meta.get("epoch", -1) + 1
+            self.global_step = meta.get("global_step", 0)
+            print(f"resumed from epoch {self.start_epoch}, step {self.global_step}")
+
+    def _to_device(self, batch):
+        return jax.tree_util.tree_map(
+            lambda x: None if x is None else jnp.asarray(x), batch
+        )
+
+    # -- train ---------------------------------------------------------------
+
+    def fit(self, resume: bool = False):
+        assert self.source_loader is not None
+        first = next(iter(self.source_loader))
+        if self.state is None:
+            self.init_or_resume(self._to_device(first), resume=resume)
+
+        for epoch in range(self.start_epoch, self.max_epochs):
+            self.source_loader.set_epoch(epoch)
+            self.target_loader.set_epoch(epoch)
+            t_epoch = time.time()
+            n = 0
+            for src, trg in max_size_cycle(self.source_loader, self.target_loader):
+                self.state, logs = self.task.jit_train_step(
+                    self.state, self._to_device(src), self._to_device(trg), self._rng
+                )
+                self.global_step += 1
+                n += 1
+                if self.logger is not None:
+                    self.logger.log_metrics(
+                        {k: float(v) for k, v in logs.items()}, self.global_step
+                    )
+                if self.limit_train_batches and n >= self.limit_train_batches:
+                    break
+            print(
+                f"epoch {epoch}: {n} steps in {time.time() - t_epoch:.1f}s",
+                flush=True,
+            )
+
+            if (epoch + 1) % self.check_val_every == 0 or epoch == self.max_epochs - 1:
+                self.validate(epoch)
+
+        return self.state
+
+    # -- eval ----------------------------------------------------------------
+
+    def _run_eval(self, loader: Loader, stage: str) -> Dict[str, float]:
+        metrics = EvalMetrics.create(self.task.num_classes)
+        losses = []
+        for i, batch in enumerate(loader):
+            metrics, logs = self.task.jit_eval_step(
+                self.state, self._to_device(batch), metrics
+            )
+            losses.append({k: float(v) for k, v in logs.items()})
+            if self.limit_val_batches and i + 1 >= self.limit_val_batches:
+                break
+
+        out = {}
+        for head, cm in (
+            ("", metrics.cm_2d),
+            ("_3d", metrics.cm_3d),
+            ("_avg", metrics.cm_avg),
+        ):
+            ious = np.asarray(iou_per_class(cm))
+            print(f"{stage} {head or '2d'}:")
+            print([(c, round(float(v), 4)) for c, v in zip(self.class_names, ious)])
+            out[f"{stage}/iou{head}"] = float(ious.mean())
+        if losses:
+            for k in losses[0]:
+                out[f"{stage}/{k}"] = float(np.mean([l[k] for l in losses]))
+        return out
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        results = {}
+        if self.val_loader is not None:
+            results.update(self._run_eval(self.val_loader, "val/target"))
+        if self.test_loader is not None:
+            results.update(self._run_eval(self.test_loader, "test/target"))
+
+        iou_2d = results.get("val/target/iou", 0.0)
+        iou_3d = results.get("val/target/iou_3d", 0.0)
+        iou_avg = results.get("val/target/iou_avg", 0.0)
+        meta = {
+            "epoch": epoch,
+            "global_step": self.global_step,
+            "best": self.best,
+            "results": results,
+        }
+        if iou_2d > self.best["best_target_iou"]:
+            self.best["best_target_iou"] = iou_2d
+            self.ckpt.save("best_2d", self.state, meta)
+        if iou_3d > self.best["best_target_iou_3d"]:
+            self.best["best_target_iou_3d"] = iou_3d
+            self.ckpt.save("best_3d", self.state, meta)
+        if iou_avg > self.best["best_target_iou_avg"]:
+            self.best["best_target_iou_avg"] = iou_avg
+        self.ckpt.save("last", self.state, meta)
+
+        if self.logger is not None:
+            self.logger.log_metrics({**results, **self.best}, self.global_step)
+        return results
+
+    def test(self) -> Dict[str, float]:
+        assert self.test_loader is not None and self.state is not None
+        return self._run_eval(self.test_loader, "test/target")

@@ -13,8 +13,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU platform and overrides
+# JAX_PLATFORMS at interpreter start; re-select CPU explicitly so tests run
+# on the local 8-device virtual CPU mesh, not op-by-op over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
+# This jax build defaults matmuls/convs to bf16-like precision even on CPU;
+# parity tests need real fp32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

@@ -1,0 +1,173 @@
+"""Data layer end-to-end: fake nuScenes pickles -> dataset -> loader ->
+PointBatch; pseudo-label refinement; config composition; padding."""
+
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+from mm2d3d_tpu.data.base import collate, pad_sample
+from mm2d3d_tpu.data.nuscenes import NuScenesLidarSeg
+from mm2d3d_tpu.data.loader import Loader, max_size_cycle
+from mm2d3d_tpu.data.pseudo_labels import refine_pseudo_labels
+from mm2d3d_tpu.utils.config import load_config
+
+H, W = 90, 160  # raw image size; resize target (40, 22)
+RESIZE = (40, 22)
+
+
+def _make_scan(rng, n=300):
+    pts_cam = np.stack(
+        [
+            (rng.rand(n) - 0.5) * 20,
+            (rng.rand(n) - 0.5) * 4,
+            rng.rand(n) * 40 + 2,
+        ],
+        1,
+    ).astype(np.float32)
+    points = pts_cam[:, [2, 0, 1]].copy()  # fake lidar frame
+    rows = rng.randint(0, H, n).astype(np.float64)
+    cols = rng.randint(0, W, n).astype(np.float64)
+    return {
+        "points": points,
+        "seg_labels": rng.randint(0, 17, n).astype(np.uint8),
+        "points_img": np.stack([rows, cols], 1),
+        "camera_path": "img.png",
+        "lidar_path": "lidar.bin",
+        "sample_token": "tok",
+        "scene_name": "scene-0001",
+        "calib": {"cam_intrinsic": np.eye(3) * 100.0},
+        "pts_cam_coord": pts_cam,
+    }
+
+
+@pytest.fixture
+def nusc_dir(tmp_path, rng):
+    from PIL import Image
+
+    pre = tmp_path / "preprocess"
+    pre.mkdir()
+    scans = [_make_scan(rng) for _ in range(4)]
+    for split in ("train_usa", "train_singapore", "val_singapore", "test_singapore"):
+        with open(pre / f"{split}.pkl", "wb") as f:
+            pickle.dump(scans, f)
+    img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "img.png")
+    return str(tmp_path)
+
+
+def _dataset(nusc_dir, **kw):
+    args = dict(
+        split=("train_usa",),
+        preprocess_dir=osp.join(nusc_dir, "preprocess"),
+        nuscenes_dir=nusc_dir,
+        merge_classes=True,
+        scale=20,
+        full_scale=2048,
+        resize=RESIZE,
+        use_rgb=True,
+    )
+    args.update(kw)
+    return NuScenesLidarSeg(**args)
+
+
+def test_nuscenes_sample_pipeline(nusc_dir, rng):
+    ds = _dataset(nusc_dir, noisy_rot=0.1, flip_x=0.5, rot=6.28, transl=True,
+                  fliplr=0.5, color_jitter=(0.4, 0.4, 0.4))
+    assert ds.num_classes == 6
+    s = ds.__getitem__(0, rng=np.random.RandomState(1))
+    n = len(s["coords"])
+    assert n > 0
+    assert s["img"].shape == (RESIZE[1], RESIZE[0], 3)
+    assert s["depth"].shape == (RESIZE[1], RESIZE[0], 1)
+    assert s["feats"].shape == (n, 3)
+    assert s["seg_label"].shape == (n,)
+    assert (s["coords"] >= 0).all() and (s["coords"] < 2048).all()
+    assert (s["img_indices"][:, 0] < RESIZE[1]).all()
+    assert (s["img_indices"][:, 1] < RESIZE[0]).all()
+    assert set(np.unique(s["seg_label"])) <= set(range(6)) | {-100}
+    # feats are the image RGB at the projected pixels
+    i = 0
+    np.testing.assert_allclose(
+        s["feats"][i], s["img"][s["img_indices"][i, 0], s["img_indices"][i, 1]]
+    )
+    # deterministic given the rng
+    s2 = ds.__getitem__(0, rng=np.random.RandomState(1))
+    np.testing.assert_array_equal(s["coords"], s2["coords"])
+
+
+def test_loader_and_collate(nusc_dir):
+    ds = _dataset(nusc_dir)
+    loader = Loader(ds, batch_size=2, n_points=256, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.coords.shape == (2, 256, 3)
+    assert b.img.shape == (2, RESIZE[1], RESIZE[0], 3)
+    assert b.point_mask.shape == (2, 256)
+    assert (b.seg_label[~b.point_mask] == -100).all()
+
+    trg = Loader(_dataset(nusc_dir, split=("train_singapore",)), 2, 256)
+    pairs = list(max_size_cycle(loader, trg))
+    assert len(pairs) == 2
+
+
+def test_loader_multiprocess(nusc_dir):
+    ds = _dataset(nusc_dir)
+    l0 = Loader(ds, batch_size=2, n_points=256, shuffle=True, seed=3)
+    l1 = Loader(ds, batch_size=2, n_points=256, shuffle=True, seed=3, num_workers=2)
+    try:
+        b0, b1 = list(l0), list(l1)
+        for a, b in zip(b0, b1):
+            np.testing.assert_array_equal(np.asarray(a.coords), np.asarray(b.coords))
+    finally:
+        l1.close()
+
+
+def test_pad_truncates_and_masks(rng):
+    s = {
+        "coords": rng.randint(0, 10, (5, 3)),
+        "img_indices": rng.randint(0, 4, (5, 2)),
+        "feats": rng.rand(5, 3).astype(np.float32),
+        "seg_label": np.arange(5),
+    }
+    p = pad_sample(s, 3)
+    assert p["n_dropped"] == 2 and p["point_mask"].sum() == 3
+    p = pad_sample(s, 8)
+    assert p["n_dropped"] == 0
+    assert (p["seg_label"][5:] == -100).all()
+    assert p["point_mask"].tolist() == [True] * 5 + [False] * 3
+
+
+def test_refine_pseudo_labels():
+    probs = np.array([0.95, 0.6, 0.91, 0.2, 0.8, 0.99])
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    out = refine_pseudo_labels(probs, labels.copy())
+    # class 0: median 0.91 -> thresh 0.9: keep 0.95, 0.91; drop 0.6
+    # class 1: median 0.8 -> keep 0.8, 0.99; drop 0.2
+    np.testing.assert_array_equal(out, [0, -100, 0, -100, 1, 1])
+
+
+def test_config_composition(tmp_path):
+    (tmp_path / "run").mkdir()
+    (tmp_path / "datasets").mkdir()
+    (tmp_path / "config.yaml").write_text(
+        "train:\n  lr: 0.001\ndefaults:\n- _self_\n- datasets: nusc\n- run: train\n"
+    )
+    (tmp_path / "datasets" / "nusc.yaml").write_text("dataset:\n  name: nuscenes\n")
+    (tmp_path / "datasets" / "other.yaml").write_text("dataset:\n  name: other\n")
+    (tmp_path / "run" / "train.yaml").write_text("run:\n  max_epochs: 49\n")
+    (tmp_path / "run" / "test.yaml").write_text("run:\n  max_epochs: 1\n")
+
+    cfg = load_config(str(tmp_path / "config.yaml"))
+    assert cfg["dataset"]["name"] == "nuscenes"
+    assert cfg["run"]["max_epochs"] == 49
+    assert cfg["train"]["lr"] == 0.001
+
+    cfg = load_config(str(tmp_path / "config.yaml"),
+                      overrides=["run=test", "datasets=other", "train.lr=0.5"])
+    assert cfg["run"]["max_epochs"] == 1
+    assert cfg["dataset"]["name"] == "other"
+    assert cfg["train"]["lr"] == 0.5

@@ -1,0 +1,159 @@
+"""Experiment driver CLI (reference run.py equivalent).
+
+Usage:
+    python -m mm2d3d_tpu.run --config configs/config.yaml [overrides...]
+    python -m mm2d3d_tpu.run --config configs/config.yaml run=test
+    python -m mm2d3d_tpu.run --config configs/config.yaml \
+        datasets=nuscenes_day_night run.fast_dev_run=true
+
+Re-expresses ``experiments_*/rgbd_rgbxyz_sigmoid_for_rgb/run.py:37-305``:
+seeding, logger + run-id persistence, datamodule, per-model optimizers with
+OneCycle, task construction, jit smoke-check (TorchScript-check analog),
+checkpoint/resume, fit then test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+from typing import Dict
+
+import numpy as np
+
+
+def build_task(cfg: Dict, num_classes: int, axis_name=None):
+    import jax.numpy as jnp
+
+    from .train.step import MM2D3DTask
+
+    m3 = cfg["models"]["net3d"]["backbone_3d"]
+    params = cfg["train"]["params"]
+    ce = next(
+        (l for l in cfg.get("losses", []) if l["name"] == "cross_entropy"), {}
+    )
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        cfg["train"].get("compute_dtype", "bfloat16")
+    ]
+    return MM2D3DTask(
+        num_classes=num_classes,
+        class_weights=ce.get("args", {}).get("weight"),
+        lambda_xm_src=params.get("lambda_xm_src", 1.0),
+        lambda_xm_trg=params.get("lambda_xm_trg", 0.1),
+        full_scale=m3["full_scale"],
+        num_planes=m3["num_planes"],
+        m=m3["m"],
+        block_reps=m3.get("block_reps", 1),
+        residual_blocks=m3.get("residual_blocks", False),
+        in_channels_3d=m3.get("in_channels", 3),
+        frozen_batch_norm=cfg["models"]["net2d"].get("frozen_batch_norm", False),
+        compute_dtype=dtype,
+        optimizer_2d=cfg["models"]["net2d"]["optimizer"],
+        optimizer_3d=cfg["models"]["net3d"]["optimizer"],
+        axis_name=axis_name,
+    )
+
+
+def build_datamodule(cfg: Dict):
+    from .data.registry import load_datamodule
+
+    ds = cfg["dataset"]
+    run = cfg["run"]
+    return load_datamodule(
+        ds["name"],
+        cfg_source=ds["source"],
+        cfg_target=ds["target"],
+        batch_size=run["batch_size"],
+        n_points=cfg["train"].get("n_points", 8192),
+        num_workers=cfg["train"].get("num_workers", 0),
+        augmentations=ds.get("augmentations"),
+        specific=ds.get("specific"),
+        seed=cfg["train"].get("seed", 42),
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="configs/config.yaml")
+    parser.add_argument("overrides", nargs="*", help="group=name or a.b=c")
+    args = parser.parse_args(argv)
+
+    from .utils.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+    # dataset-specific train overrides (e.g. lambda_xm for vkitti)
+    if "train_overrides" in cfg:
+        from .utils.config import _deep_merge
+
+        cfg["train"] = _deep_merge(cfg["train"], cfg.pop("train_overrides"))
+
+    seed = cfg["train"].get("seed", 42)
+    np.random.seed(seed)
+
+    out_dir = cfg["train"].get("out_dir", "runs/default")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from .utils.logging import create_logger, snapshot_code
+
+    run_cfg = cfg["run"]
+    logger = create_logger(
+        cfg.get("logging"), out_dir=out_dir, resume=run_cfg.get("resume", False)
+    )
+    logger.log_hyperparams(
+        {"config": args.config, "overrides": args.overrides, **cfg["train"]["params"]}
+    )
+    snapshot_code(out_dir, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+    dm = build_datamodule(cfg)
+    task = build_task(cfg, dm.num_classes)
+
+    # optional pretrained RGB backbone import (reference backbones.py:23-27)
+    pretrained = cfg["models"]["net2d"].get("pretrained_backbone")
+
+    from .train.trainer import Trainer
+
+    trainer = Trainer(
+        task,
+        source_loader=dm.source_train,
+        target_loader=dm.target_train,
+        val_loader=dm.target_val,
+        test_loader=dm.target_test,
+        ckpt_dir=osp.join(out_dir, "ckpts"),
+        max_epochs=run_cfg["max_epochs"],
+        check_val_every_n_epoch=run_cfg.get("check_val_every_n_epoch", 1),
+        class_names=dm.class_names,
+        logger=logger,
+        seed=seed,
+        limit_train_batches=run_cfg.get("limit_train_batches"),
+        limit_val_batches=run_cfg.get("limit_val_batches"),
+        fast_dev_run=run_cfg.get("fast_dev_run", False),
+    )
+
+    import jax
+    import jax.numpy as jnp
+
+    first = next(iter(dm.source_train))
+    trainer.init_or_resume(
+        jax.tree_util.tree_map(lambda x: None if x is None else jnp.asarray(x), first),
+        resume=run_cfg.get("resume", False),
+    )
+
+    if pretrained:
+        from .models.torch_import import load_pretrained_backbone
+
+        p, s = load_pretrained_backbone(pretrained)
+        params2d = dict(trainer.state.params2d)
+        stats2d = dict(trainer.state.stats2d)
+        params2d["rgb_backbone"] = p
+        stats2d["rgb_backbone"] = s
+        trainer.state = trainer.state.replace(params2d=params2d, stats2d=stats2d)
+        print(f"imported pretrained RGB backbone from {pretrained}")
+
+    if run_cfg.get("mode", "train") == "train":
+        trainer.fit(resume=run_cfg.get("resume", False))
+    trainer.test()
+    logger.finish()
+
+
+if __name__ == "__main__":
+    main()

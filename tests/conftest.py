@@ -26,6 +26,11 @@ jax.config.update("jax_platforms", "cpu")
 # parity tests need real fp32.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite is dominated by XLA compile time.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mm2d3d_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 @pytest.fixture
 def rng():

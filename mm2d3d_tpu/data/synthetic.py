@@ -32,14 +32,39 @@ def make_batch(
 
     img = rng.rand(b, height, width, 3).astype(dtype)
 
-    # points in "meters": forward depth z in [2, 60], lateral spread
-    zc = rng.rand(b, n) * 58 + 2
-    xc = (rng.rand(b, n) - 0.5) * zc * 0.9
-    yc = np.where(
-        rng.rand(b, n) < 0.6,
-        1.6 + rng.randn(b, n) * 0.05,  # ground
-        1.6 - rng.rand(b, n) * 4.0,  # structures above ground
-    )
+    # Spinning-lidar beam structure (rings x azimuth): real scans are dense
+    # along scan lines, so voxel neighborhoods are well-populated — uniform
+    # random points would give a misleading ~96% empty-neighbor rate.
+    n_rings = 32
+    per_ring = n // n_rings
+    elev = np.linspace(-0.42, 0.08, n_rings)  # elevation angles (rad)
+    az = np.linspace(-0.45, 0.45, per_ring)  # front-camera FoV azimuths
+    elev_g, az_g = np.meshgrid(elev, az, indexing="ij")
+    elev_f = np.broadcast_to(elev_g.reshape(1, -1), (b, n_rings * per_ring))
+    az_f = np.broadcast_to(az_g.reshape(1, -1), (b, n_rings * per_ring))
+
+    # scene: ground plane at y=1.6 plus a few box obstacles per sample
+    sensor_h = 1.6
+    with np.errstate(divide="ignore"):
+        ground_r = np.where(elev_f < -1e-3, sensor_h / np.tan(-elev_f), 120.0)
+    rng_range = np.clip(ground_r, 2.0, 120.0)
+    for _ in range(6):  # random walls at fixed depths/azimuth bands
+        wall_z = rng.rand(b, 1) * 50 + 5
+        az0 = (rng.rand(b, 1) - 0.5) * 0.8
+        wid = rng.rand(b, 1) * 0.1 + 0.02
+        hit = np.abs(az_f - az0) < wid
+        rng_range = np.where(hit, np.minimum(rng_range, wall_z), rng_range)
+    rng_range = rng_range + rng.randn(b, n_rings * per_ring) * 0.02  # sensor noise
+
+    zc = (rng_range * np.cos(elev_f) * np.cos(az_f))[:, :n]
+    xc = (rng_range * np.cos(elev_f) * np.sin(az_f))[:, :n]
+    yc = (sensor_h + rng_range * np.sin(elev_f) * -1.0)[:, :n]
+    if zc.shape[1] < n:  # pad remainder with repeats
+        extra = n - zc.shape[1]
+        zc = np.concatenate([zc, zc[:, :extra]], 1)
+        xc = np.concatenate([xc, xc[:, :extra]], 1)
+        yc = np.concatenate([yc, yc[:, :extra]], 1)
+    zc = np.clip(zc, 2.0, 120.0)
     pts = np.stack([xc, yc, zc], -1).astype(np.float32)
 
     # voxelize at scale 20 (5cm), shift to positive octant per sample

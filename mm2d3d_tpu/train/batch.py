@@ -56,8 +56,27 @@ def flatten_points(batch: PointBatch):
     return coords, feats, labels, mask, bidx
 
 
+def default_capacities(num_points: int, num_levels: int) -> Tuple[int, ...]:
+    """Per-level voxel-row capacities.
+
+    Real LiDAR occupancy roughly halves per level below level 1 (measured on
+    beam-structured scans: [48k, 32k, 19k, 10k, 5k, 2.3k, 1.1k] for 65k
+    points), so full-capacity tables at every level waste ~4x gather work.
+    Schedule: [P, P, P/2, P/4, ...] with a floor — ~1.5-2x headroom over
+    measured occupancy.  Overflowing voxels are dropped to the dump row
+    (monitor `num_voxels == capacity`).
+    """
+    caps = []
+    for l in range(num_levels):
+        caps.append(max(256, num_points >> max(0, l - 1)))
+    return tuple(caps)
+
+
 def build_topology(
-    batch: PointBatch, full_scale: int, num_levels: int
+    batch: PointBatch,
+    full_scale: int,
+    num_levels: int,
+    capacities: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[VoxelGrid, Hierarchy]:
     """Voxelize the batch and build the sparse U-Net hierarchy.
 
@@ -66,6 +85,8 @@ def build_topology(
     rulebooks per layer per call).
     """
     coords, _, _, mask, bidx = flatten_points(batch)
-    grid = voxelize(coords, bidx, mask, full_scale)
-    hier = build_hierarchy(grid, num_levels)
+    if capacities is None:
+        capacities = default_capacities(coords.shape[0], num_levels)
+    grid = voxelize(coords, bidx, mask, full_scale, capacity=capacities[0])
+    hier = build_hierarchy(grid, num_levels, capacities=capacities)
     return grid, hier

@@ -127,6 +127,9 @@ def main(argv=None):
         limit_train_batches=run_cfg.get("limit_train_batches"),
         limit_val_batches=run_cfg.get("limit_val_batches"),
         fast_dev_run=run_cfg.get("fast_dev_run", False),
+        train_log_images_step=cfg["train"]["params"].get("train_log_images_step", 2000),
+        class_palette=cfg["train"]["params"].get("class_palette"),
+        viz_dir=osp.join(out_dir, "figures"),
     )
 
     import jax

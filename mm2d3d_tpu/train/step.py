@@ -297,6 +297,30 @@ class MM2D3DTask:
         logs = {"loss_segmentation": loss_2d, "loss_segmentation_3d": loss_3d}
         return new_metrics, logs
 
+    # -- qualitative visualization forward ------------------------------------
+
+    def viz_forward(self, state: TrainState, batch: PointBatch):
+        """Small-output forward for qualitative figures (train.py:226-241):
+        dense 2D argmax, lifted 2D/3D point argmaxes, the 3D confidence gate."""
+        topo = build_topology(batch, self.full_scale, self.num_planes)
+        p2, _, _, _ = self._fwd2d(state.params2d, state.stats2d, batch, False)
+        p3, _, _, _ = self._fwd3d(state.params3d, state.stats3d, batch, *topo, False)
+        b, n = batch.point_mask.shape
+        return {
+            "pred_2d_dense": jnp.argmax(p2["seg_logit_2d"], -1),  # (B, H, W)
+            "pred_2d_points": jnp.argmax(
+                p2["seg_logit"].reshape(b, n, -1), -1
+            ),  # (B, N)
+            "pred_3d_points": jnp.argmax(
+                p3["seg_logit"].reshape(b, n, -1), -1
+            ),
+            "confidence": p3["confidence"].reshape(b, n),
+        }
+
+    @functools.cached_property
+    def jit_viz_forward(self):
+        return jax.jit(self.viz_forward)
+
     # -- jit helpers ---------------------------------------------------------
 
     @functools.cached_property

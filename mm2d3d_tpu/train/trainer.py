@@ -85,6 +85,9 @@ class Trainer:
         limit_train_batches: Optional[int] = None,
         limit_val_batches: Optional[int] = None,
         fast_dev_run: bool = False,
+        train_log_images_step: Optional[int] = None,
+        class_palette=None,
+        viz_dir: Optional[str] = None,
     ):
         self.task = task
         self.source_loader = source_loader
@@ -103,6 +106,9 @@ class Trainer:
         self.limit_val_batches = 2 if fast_dev_run else limit_val_batches
         if fast_dev_run:
             self.max_epochs = 1
+        self.train_log_images_step = train_log_images_step
+        self.class_palette = class_palette
+        self.viz_dir = viz_dir
 
         self.global_step = 0
         self.start_epoch = 0
@@ -144,8 +150,16 @@ class Trainer:
             t_epoch = time.time()
             n = 0
             for src, trg in max_size_cycle(self.source_loader, self.target_loader):
+                src_dev = self._to_device(src)
+                trg_dev = self._to_device(trg)
+                if (
+                    self.train_log_images_step
+                    and self.global_step % self.train_log_images_step == 0
+                ):
+                    self._log_images(src_dev, "train_source")
+                    self._log_images(trg_dev, "train_target")
                 self.state, logs = self.task.jit_train_step(
-                    self.state, self._to_device(src), self._to_device(trg), self._rng
+                    self.state, src_dev, trg_dev, self._rng
                 )
                 self.global_step += 1
                 n += 1
@@ -164,6 +178,32 @@ class Trainer:
                 self.validate(epoch)
 
         return self.state
+
+    def _log_images(self, batch, stage: str):
+        """Qualitative point-overlay figure of the first sample
+        (reference train.py:226-241 -> lib/utils/visualize.py:474-553)."""
+        if self.class_palette is None or self.viz_dir is None:
+            return
+        from ..utils.visualize import draw_points_image_labels_with_confidence
+
+        out = self.task.jit_viz_forward(self.state, batch)
+        mask = np.asarray(batch.point_mask[0])
+        idx = np.asarray(batch.img_indices[0])[mask]
+        path = osp.join(
+            self.viz_dir, f"{stage}_step{self.global_step}.png"
+        )
+        os.makedirs(self.viz_dir, exist_ok=True)
+        draw_points_image_labels_with_confidence(
+            np.asarray(batch.img[0]),
+            np.asarray(out["pred_2d_dense"][0]),
+            np.asarray(out["pred_2d_points"][0])[mask],
+            np.asarray(out["pred_3d_points"][0])[mask],
+            np.asarray(out["confidence"][0])[mask],
+            np.asarray(batch.seg_label[0])[mask],
+            idx,
+            color_palette=self.class_palette,
+            out_path=path,
+        )
 
     # -- eval ----------------------------------------------------------------
 

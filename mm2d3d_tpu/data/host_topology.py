@@ -1,0 +1,110 @@
+"""Host-side (C++) sparse-topology construction.
+
+Builds the exact (VoxelGrid, Hierarchy) pytrees of `train.batch
+.build_topology`, but on the CPU with hash maps (`mm2d3d_tpu.native`) inside
+the data loader — pipelined with device compute instead of spending device
+time on sort/binary-search kernels.  The arrays ship to the device with the
+batch; numerically identical to the device path (tests/test_native.py,
+tests/test_host_topology.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import native
+from ..ops.hierarchy import GridLevel, Hierarchy, LevelTransition
+from ..ops.voxelize import VoxelGrid
+from ..train.batch import PointBatch, default_capacities
+from ..ops import keys as K
+
+
+def _keys_for(coords, batch, valid, full_scale):
+    hi = batch * full_scale + coords[:, 0]
+    lo = coords[:, 1] * full_scale + coords[:, 2]
+    hi = np.where(valid, hi, np.iinfo(np.int32).max).astype(np.int32)
+    lo = np.where(valid, lo, np.iinfo(np.int32).max).astype(np.int32)
+    return hi, lo
+
+
+def build_topology_host(
+    coords: np.ndarray,  # (P, 3) int
+    bidx: np.ndarray,  # (P,) int
+    valid: np.ndarray,  # (P,) bool
+    full_scale: int,
+    num_levels: int,
+    capacities: Optional[Sequence[int]] = None,
+) -> Tuple[VoxelGrid, Hierarchy]:
+    assert native.available(), "native host ops unavailable"
+    p = len(coords)
+    if capacities is None:
+        capacities = default_capacities(p, num_levels)
+
+    coords = np.ascontiguousarray(coords, np.int32)
+    bidx = np.ascontiguousarray(bidx, np.int32)
+    valid_u8 = np.ascontiguousarray(valid, np.uint8)
+
+    cap0 = capacities[0]
+    vc, vb, p2v, counts, nvox = native.voxelize_dedup(
+        coords, bidx, valid_u8, full_scale, cap0
+    )
+    row_valid = np.arange(cap0) < nvox
+    hi, lo = _keys_for(vc, vb, row_valid, full_scale)
+    grid = VoxelGrid(
+        key_hi=hi, key_lo=lo, coords=vc, batch=vb, valid=row_valid,
+        num_voxels=np.int32(nvox), p2v=p2v, counts=counts,
+        full_scale=full_scale,
+    )
+
+    levels = []
+    transitions = []
+    prev = dict(coords=vc, batch=vb, nvox=nvox, cap=cap0, fs=full_scale)
+    nbr = native.build_nbr27(vc, vb, nvox, cap0, full_scale)
+    levels.append(
+        GridLevel(
+            key_hi=hi, key_lo=lo, coords=vc, batch=vb, valid=row_valid,
+            num_voxels=np.int32(nvox), nbr=nbr, full_scale=full_scale,
+        )
+    )
+
+    for l in range(1, num_levels):
+        cap = capacities[l]
+        fs = prev["fs"] // 2
+        fine_valid = (np.arange(prev["cap"]) < prev["nvox"]).astype(np.uint8)
+        cc, cb, _, _, nv = native.voxelize_dedup(
+            (prev["coords"] >> 1).astype(np.int32), prev["batch"], fine_valid,
+            fs, cap,
+        )
+        parent, off_id, child = native.build_transition(
+            prev["coords"], prev["batch"], prev["nvox"], prev["cap"],
+            cc, cb, nv, cap, fs,
+        )
+        nbr = native.build_nbr27(cc, cb, nv, cap, fs)
+        rv = np.arange(cap) < nv
+        hi, lo = _keys_for(cc, cb, rv, fs)
+        levels.append(
+            GridLevel(
+                key_hi=hi, key_lo=lo, coords=cc, batch=cb, valid=rv,
+                num_voxels=np.int32(nv), nbr=nbr, full_scale=fs,
+            )
+        )
+        transitions.append(
+            LevelTransition(parent=parent, off_id=off_id, child=child)
+        )
+        prev = dict(coords=cc, batch=cb, nvox=nv, cap=cap, fs=fs)
+
+    return grid, Hierarchy(levels=tuple(levels), transitions=tuple(transitions))
+
+
+def topology_for_batch(
+    batch: PointBatch, full_scale: int, num_levels: int,
+    capacities: Optional[Sequence[int]] = None,
+):
+    b, n = batch.coords.shape[:2]
+    coords = np.asarray(batch.coords).reshape(b * n, 3)
+    bidx = np.repeat(np.arange(b, dtype=np.int32), n)
+    valid = np.asarray(batch.point_mask).reshape(b * n)
+    return build_topology_host(coords, bidx, valid, full_scale, num_levels,
+                               capacities)

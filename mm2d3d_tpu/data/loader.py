@@ -112,6 +112,47 @@ class Loader:
             self._pool = None
 
 
+def prefetch_topology_pairs(
+    pair_iter,
+    full_scale: int,
+    num_levels: int,
+    capacities=None,
+    workers: int = 3,
+    depth: int = 4,
+):
+    """Pipeline host (C++) topology construction with device compute.
+
+    Wraps an iterator of (src, trg) PointBatch pairs; yields
+    (src, trg, topo_src, topo_trg) with topologies built in a thread pool
+    `depth` batches ahead (the C++ ops release the GIL via ctypes).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .host_topology import topology_for_batch
+
+    def job(pair):
+        src, trg = pair
+        ts = topology_for_batch(src, full_scale, num_levels, capacities)
+        tt = topology_for_batch(trg, full_scale, num_levels, capacities)
+        return src, trg, ts, tt
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        it = iter(pair_iter)
+        try:
+            for _ in range(depth):
+                pending.append(pool.submit(job, next(it)))
+        except StopIteration:
+            pass
+        while pending:
+            done = pending.pop(0)
+            try:
+                pending.append(pool.submit(job, next(it)))
+            except StopIteration:
+                pass
+            yield done.result()
+
+
 def max_size_cycle(source: Loader, target: Loader):
     """Pair source/target batches, cycling the shorter loader (Lightning's
     multiple_trainloader_mode="max_size_cycle")."""

@@ -130,6 +130,9 @@ def main(argv=None):
         train_log_images_step=cfg["train"]["params"].get("train_log_images_step", 2000),
         class_palette=cfg["train"]["params"].get("class_palette"),
         viz_dir=osp.join(out_dir, "figures"),
+        # host topology pipelining pays off on PCIe-attached TPU hosts; over
+        # a low-bandwidth tunnel the array transfer dominates - default off.
+        host_topology=cfg["train"].get("host_topology", False),
     )
 
     import jax

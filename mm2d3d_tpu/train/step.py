@@ -174,10 +174,20 @@ class MM2D3DTask:
         return jax.lax.pmean(x, self.axis_name)
 
     def train_step(
-        self, state: TrainState, src: PointBatch, trg: PointBatch, rng: jax.Array
+        self,
+        state: TrainState,
+        src: PointBatch,
+        trg: PointBatch,
+        rng: jax.Array,
+        topo_src=None,
+        topo_trg=None,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        topo_src = build_topology(src, self.full_scale, self.num_planes)
-        topo_trg = build_topology(trg, self.full_scale, self.num_planes)
+        # topology may be precomputed on the host (data.host_topology) and
+        # shipped with the batch — identical arrays, zero device build time.
+        if topo_src is None:
+            topo_src = build_topology(src, self.full_scale, self.num_planes)
+        if topo_trg is None:
+            topo_trg = build_topology(trg, self.full_scale, self.num_planes)
         rng_src, rng_trg = jax.random.split(jax.random.fold_in(rng, state.step))
 
         _, _, labels_src, mask_src, _ = flatten_points(src)
@@ -264,11 +274,13 @@ class MM2D3DTask:
     # -- eval ----------------------------------------------------------------
 
     def eval_step(
-        self, state: TrainState, batch: PointBatch, metrics: EvalMetrics
+        self, state: TrainState, batch: PointBatch, metrics: EvalMetrics,
+        topo=None,
     ) -> Tuple[EvalMetrics, Dict[str, jax.Array]]:
         """One eval batch: losses + 2D/3D/ensemble confusion-matrix updates
         (train.py:297-339)."""
-        topo = build_topology(batch, self.full_scale, self.num_planes)
+        if topo is None:
+            topo = build_topology(batch, self.full_scale, self.num_planes)
         _, _, labels, mask, _ = flatten_points(batch)
 
         p2, _, _, _ = self._fwd2d(state.params2d, state.stats2d, batch, False)
@@ -328,8 +340,27 @@ class MM2D3DTask:
         return jax.jit(self.train_step, donate_argnums=(0,))
 
     @functools.cached_property
+    def jit_train_step_pre(self):
+        """Train step with host-precomputed topologies."""
+        return jax.jit(
+            lambda state, src, trg, rng, ts, tt: self.train_step(
+                state, src, trg, rng, ts, tt
+            ),
+            donate_argnums=(0,),
+        )
+
+    @functools.cached_property
     def jit_eval_step(self):
         return jax.jit(self.eval_step, donate_argnums=(2,))
+
+    @functools.cached_property
+    def jit_eval_step_pre(self):
+        return jax.jit(
+            lambda state, batch, metrics, topo: self.eval_step(
+                state, batch, metrics, topo
+            ),
+            donate_argnums=(2,),
+        )
 
     def __hash__(self):
         return id(self)

@@ -88,6 +88,7 @@ class Trainer:
         train_log_images_step: Optional[int] = None,
         class_palette=None,
         viz_dir: Optional[str] = None,
+        host_topology: bool = False,
     ):
         self.task = task
         self.source_loader = source_loader
@@ -109,6 +110,11 @@ class Trainer:
         self.train_log_images_step = train_log_images_step
         self.class_palette = class_palette
         self.viz_dir = viz_dir
+        if host_topology:
+            from ..native import available
+
+            host_topology = available()
+        self.host_topology = host_topology
 
         self.global_step = 0
         self.start_epoch = 0
@@ -149,7 +155,19 @@ class Trainer:
             self.target_loader.set_epoch(epoch)
             t_epoch = time.time()
             n = 0
-            for src, trg in max_size_cycle(self.source_loader, self.target_loader):
+            pair_iter = max_size_cycle(self.source_loader, self.target_loader)
+            if self.host_topology:
+                from ..data.loader import prefetch_topology_pairs
+
+                pair_iter = prefetch_topology_pairs(
+                    pair_iter, self.task.full_scale, self.task.num_planes
+                )
+            for item in pair_iter:
+                if self.host_topology:
+                    src, trg, topo_src, topo_trg = item
+                else:
+                    src, trg = item
+                    topo_src = topo_trg = None
                 src_dev = self._to_device(src)
                 trg_dev = self._to_device(trg)
                 if (
@@ -158,9 +176,15 @@ class Trainer:
                 ):
                     self._log_images(src_dev, "train_source")
                     self._log_images(trg_dev, "train_target")
-                self.state, logs = self.task.jit_train_step(
-                    self.state, src_dev, trg_dev, self._rng
-                )
+                if topo_src is not None:
+                    self.state, logs = self.task.jit_train_step_pre(
+                        self.state, src_dev, trg_dev, self._rng,
+                        self._to_device(topo_src), self._to_device(topo_trg),
+                    )
+                else:
+                    self.state, logs = self.task.jit_train_step(
+                        self.state, src_dev, trg_dev, self._rng
+                    )
                 self.global_step += 1
                 n += 1
                 if self.logger is not None:

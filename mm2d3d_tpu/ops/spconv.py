@@ -6,18 +6,25 @@ Equivalents of SparseConvNet's CUDA kernels
 ``/root/reference/experiments_*/rgbd_rgbxyz_sigmoid_for_rgb/3d_net/scn_unet.py``)
 recast for TPU:
 
-- Neighbor features are gathered into a (V, K*Cin) matrix and hit with ONE
-  (K*Cin, Cout) matmul.  With K=27 taps the contraction dim is 27*Cin
-  (432..3024 for the reference channel counts 16..112), which tiles far
-  better onto the 128x128 MXU than K separate tiny matmuls.
-- Missing neighbors index a zero pad row — no branches, no dynamic shapes.
-- Compute in bf16 with fp32 accumulation (preferred_element_type).
+- Per conv: ONE gather of all tap neighborhoods (K, V, Cin), ONE batched
+  matmul against (K, Cin, Cout) weights, ONE tap reduction.  Missing
+  neighbors index a zero pad row — no branches, no dynamic shapes.
+- CUSTOM VJPs replace XLA's scatter-add adjoints (7x slower than forward on
+  TPU) with gather-based transposes:
+    * submanifold 3^3: adjoint = submanifold conv with negated taps
+      (nbr[u, 26-k] pairs with nbr[v, k]) and transposed tap matrices;
+    * stride-2 down conv and stride-2 deconv are each other's transposes
+      (child map one way, parent/off_id map the other).
+  Backward therefore costs ~2 forwards instead of ~7.
+- Compute in bf16 with fp32 accumulation; fp32 inputs use full-precision
+  matmuls (parity/testing).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .hierarchy import GridLevel, LevelTransition
 
@@ -28,19 +35,79 @@ def _pad_zero_row(feats: jax.Array) -> jax.Array:
     )
 
 
-def _matmul(a: jax.Array, b: jax.Array, compute_dtype) -> jax.Array:
-    # fp32 compute means full-precision (parity/testing); bf16 rides the MXU.
-    precision = (
+def _precision(dtype):
+    return (
         jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
+        if dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+
+
+def _matmul(a: jax.Array, b: jax.Array, compute_dtype) -> jax.Array:
     return jnp.dot(
         a.astype(compute_dtype),
         b.astype(compute_dtype),
         preferred_element_type=jnp.float32,
-        precision=precision,
+        precision=_precision(compute_dtype),
     )
+
+
+def _int_zero(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _tap_gather_matmul(feats: jax.Array, idx_t: jax.Array, weight: jax.Array):
+    """sum_k take(feats_pad, idx_t[k]) @ weight[k]  ->  (V, Cout) fp32.
+
+    feats: (V, Cin); idx_t: (K, V) with V = missing; weight: (K, Cin, Cout).
+    """
+    padded = _pad_zero_row(feats)
+    g = jnp.take(padded, idx_t, axis=0)  # (K, V, Cin)
+    taps = jax.lax.dot_general(
+        g, weight,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_precision(feats.dtype),
+    )  # (K, V, Cout)
+    return jnp.sum(taps, axis=0)
+
+
+def _tap_weight_grad(feats: jax.Array, idx_t: jax.Array, g: jax.Array):
+    """d_weight[k] = take(feats_pad, idx_t[k])^T @ g  ->  (K, Cin, Cout)."""
+    padded = _pad_zero_row(feats)
+    gk = jnp.take(padded, idx_t, axis=0)  # (K, V, Cin)
+    return jax.lax.dot_general(
+        gk, g.astype(gk.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(feats.dtype),
+    )  # (K, Cin, Cout)
+
+
+# ---------------------------------------------------------------------------
+# submanifold 3x3x3
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _subm_apply(feats, weight, nbr_t):
+    return _tap_gather_matmul(feats, nbr_t, weight)
+
+
+def _subm_fwd(feats, weight, nbr_t):
+    return _subm_apply(feats, weight, nbr_t), (feats, weight, nbr_t)
+
+
+def _subm_bwd(res, g):
+    feats, weight, nbr_t = res
+    g = g.astype(feats.dtype)
+    # adjoint conv: negated taps (row 26-k) with transposed matrices
+    w_flip = weight[::-1].swapaxes(1, 2)
+    d_feats = _tap_gather_matmul(g, nbr_t, w_flip).astype(feats.dtype)
+    d_weight = _tap_weight_grad(feats, nbr_t, g).astype(weight.dtype)
+    return d_feats, d_weight, _int_zero(nbr_t)
+
+
+_subm_apply.defvjp(_subm_fwd, _subm_bwd)
 
 
 def subm_conv3(
@@ -51,36 +118,58 @@ def subm_conv3(
 ) -> jax.Array:
     """Submanifold 3x3x3 convolution: active sites only, no dilation.
 
-    Formulated as 27 per-tap row gathers + accumulated matmuls.  The
-    alternative single (V, 27*Cin) x (27*Cin, Cout) matmul needs a
-    (V*27, C) -> (V, 27C) relayout that costs more on TPU than the matmuls
-    themselves at these channel widths (profiled: ~2ms per relayout vs
-    <0.5ms of FLOPs); per-tap gathers keep every array in its natural
-    layout, and the per-tap indices are sorted (adjacent voxels have
-    adjacent neighbors), which TPU gathers like.
-
     Args:
       feats: (V, Cin) voxel features at `level`.
       weight: (27, Cin, Cout), tap order = `hierarchy.OFFSETS_27`.
     Returns: (V, Cout) fp32.
     """
-    padded = _pad_zero_row(feats).astype(compute_dtype)
-    w = weight.astype(compute_dtype)
-    # ONE gather (27, V, C) + ONE batched matmul + ONE reduction — minimizes
-    # per-op fixed overhead while keeping every array in natural layout.
-    g = jnp.take(padded, level.nbr.T, axis=0)  # (27, V, Cin)
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
+    return _subm_apply(
+        feats.astype(compute_dtype), weight.astype(compute_dtype), level.nbr.T
     )
+
+
+# ---------------------------------------------------------------------------
+# stride-2 down conv / deconv (mutual transposes)
+# ---------------------------------------------------------------------------
+
+def _up_apply_raw(coarse_feats, weight, parent, off_id):
+    """out_f[v] = coarse[parent[v]] @ weight[off_id[v]]  (fp32)."""
+    vc = coarse_feats.shape[0]
+    cout = weight.shape[-1]
     taps = jax.lax.dot_general(
-        g, w,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # batch over taps
+        jnp.broadcast_to(coarse_feats, (8,) + coarse_feats.shape), weight,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # (27, V, Cout)
-    return jnp.sum(taps, axis=0)
+        precision=_precision(coarse_feats.dtype),
+    ).reshape(8 * vc, cout)
+    taps = jnp.concatenate([taps, jnp.zeros((1, cout), taps.dtype)], axis=0)
+    flat_idx = jnp.where(parent < vc, off_id * vc + parent, 8 * vc)
+    return jnp.take(taps, flat_idx, axis=0)
+
+
+@jax.custom_vjp
+def _down_apply(fine_feats, weight, child_t, parent, off_id):
+    return _tap_gather_matmul(fine_feats, child_t, weight)
+
+
+def _down_fwd(fine_feats, weight, child_t, parent, off_id):
+    out = _down_apply(fine_feats, weight, child_t, parent, off_id)
+    return out, (fine_feats, weight, child_t, parent, off_id)
+
+
+def _down_bwd(res, g):
+    fine_feats, weight, child_t, parent, off_id = res
+    g = g.astype(fine_feats.dtype)
+    # transpose of down conv = deconv through (parent, off_id)
+    d_fine = _up_apply_raw(g, weight.swapaxes(1, 2), parent, off_id).astype(
+        fine_feats.dtype
+    )
+    d_weight = _tap_weight_grad(fine_feats, child_t, g).astype(weight.dtype)
+    return (d_fine, d_weight, _int_zero(child_t), _int_zero(parent),
+            _int_zero(off_id))
+
+
+_down_apply.defvjp(_down_fwd, _down_bwd)
 
 
 def down_conv2(
@@ -91,26 +180,45 @@ def down_conv2(
 ) -> jax.Array:
     """Strided downsample conv (filter 2, stride 2): fine -> coarse sites.
 
-    Args:
-      fine_feats: (Vf, Cin).
-      weight: (8, Cin, Cout), tap order = `hierarchy.OFFSETS_8`.
-    Returns: (Vc, Cout) fp32.
+    weight: (8, Cin, Cout), tap order = `hierarchy.OFFSETS_8`.
     """
-    padded = _pad_zero_row(fine_feats).astype(compute_dtype)
-    w = weight.astype(compute_dtype)
-    g = jnp.take(padded, trans.child.T, axis=0)  # (8, Vc, Cin)
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
+    return _down_apply(
+        fine_feats.astype(compute_dtype), weight.astype(compute_dtype),
+        trans.child.T, trans.parent, trans.off_id,
     )
-    taps = jax.lax.dot_general(
-        g, w,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # (8, Vc, Cout)
-    return jnp.sum(taps, axis=0)
+
+
+@jax.custom_vjp
+def _up_apply(coarse_feats, weight, parent, off_id, child_t):
+    return _up_apply_raw(coarse_feats, weight, parent, off_id)
+
+
+def _up_fwd(coarse_feats, weight, parent, off_id, child_t):
+    out = _up_apply(coarse_feats, weight, parent, off_id, child_t)
+    return out, (coarse_feats, weight, parent, off_id, child_t)
+
+
+def _up_bwd(res, g):
+    coarse_feats, weight, parent, off_id, child_t = res
+    g = g.astype(coarse_feats.dtype)
+    # transpose of deconv = down conv through the child map
+    d_coarse = _tap_gather_matmul(g, child_t, weight.swapaxes(1, 2)).astype(
+        coarse_feats.dtype
+    )
+    # d_weight[k] = sum over fine rows with off_id==k of coarse[parent] x g
+    vc = coarse_feats.shape[0]
+    padded = _pad_zero_row(coarse_feats)
+    gp = jnp.take(padded, jnp.minimum(parent, vc), axis=0)  # (Vf, Cin)
+    onehot = jax.nn.one_hot(off_id, 8, dtype=gp.dtype)  # (Vf, 8)
+    d_weight = jnp.einsum(
+        "vk,vc,vd->kcd", onehot, gp, g,
+        precision=_precision(coarse_feats.dtype),
+    ).astype(weight.dtype)
+    return (d_coarse, d_weight, _int_zero(parent), _int_zero(off_id),
+            _int_zero(child_t))
+
+
+_up_apply.defvjp(_up_fwd, _up_bwd)
 
 
 def up_conv2(
@@ -121,41 +229,17 @@ def up_conv2(
 ) -> jax.Array:
     """Transposed stride-2 conv restoring the saved fine site set.
 
-    Every fine site has exactly one coarse parent and one tap offset, so the
-    op is: gather parent features, apply all 8 tap matrices densely, select
-    the row's tap (take_along_axis).  8x FLOPs over the minimum but fully
-    dense — a win on the MXU at these channel widths.
-
-    Args:
-      coarse_feats: (Vc, Cin).
-      weight: (8, Cin, Cout) — taps indexed by the fine site's off_id.
-    Returns: (Vf, Cout) fp32.
+    weight: (8, Cin, Cout) — taps indexed by the fine site's off_id.
     """
-    vc = coarse_feats.shape[0]
-    cout = weight.shape[-1]
-    cf = coarse_feats.astype(compute_dtype)
-    w = weight.astype(compute_dtype)
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
+    return _up_apply(
+        coarse_feats.astype(compute_dtype), weight.astype(compute_dtype),
+        trans.parent, trans.off_id, trans.child.T,
     )
-    # apply all 8 taps on the (small) coarse level with one batched matmul,
-    # then ONE row gather indexed by (tap, parent) — no minor-dim relayouts.
-    taps = jax.lax.dot_general(
-        jnp.broadcast_to(cf, (8,) + cf.shape), w,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    ).reshape(8 * vc, cout)  # (8*Vc, Cout)
-    taps = jnp.concatenate([taps, jnp.zeros((1, cout), taps.dtype)], axis=0)
-    flat_idx = jnp.where(
-        trans.parent < vc,
-        trans.off_id * vc + trans.parent,
-        8 * vc,  # missing parent -> zero row
-    )
-    return jnp.take(taps, flat_idx, axis=0)
 
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
 
 def linear(feats: jax.Array, weight: jax.Array, bias=None,
            compute_dtype=jnp.bfloat16) -> jax.Array:

@@ -82,6 +82,8 @@ class MM2D3DTask:
         optimizer_2d: Optional[Dict] = None,
         optimizer_3d: Optional[Dict] = None,
         axis_name: Optional[str] = None,
+        model2d=None,  # custom plugin instances (models.registry.load_model)
+        model3d=None,
     ):
         self.num_classes = num_classes
         self.class_weights = (
@@ -93,12 +95,12 @@ class MM2D3DTask:
         self.num_planes = num_planes
         self.axis_name = axis_name
 
-        self.model2d = Net2DSeg(
+        self.model2d = model2d or Net2DSeg(
             num_classes=num_classes,
             frozen_batch_norm=frozen_batch_norm,
             compute_dtype=compute_dtype,
         )
-        self.model3d = Net3DSeg(
+        self.model3d = model3d or Net3DSeg(
             num_classes=num_classes,
             in_channels=in_channels_3d,
             m=m,

@@ -60,16 +60,14 @@ def _tap_gather_matmul(feats: jax.Array, idx_t: jax.Array, weight: jax.Array):
     """sum_k take(feats_pad, idx_t[k]) @ weight[k]  ->  (V, Cout) fp32.
 
     feats: (V, Cin); idx_t: (K, V) with V = missing; weight: (K, Cin, Cout).
+    XLA issues the gather (HBM random access is hardware-bound either way);
+    the tap contraction runs in the fused Pallas kernel on TPU.
     """
+    from .pallas.tapsum import tapsum
+
     padded = _pad_zero_row(feats)
     g = jnp.take(padded, idx_t, axis=0)  # (K, V, Cin)
-    taps = jax.lax.dot_general(
-        g, weight,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=_precision(feats.dtype),
-    )  # (K, V, Cout)
-    return jnp.sum(taps, axis=0)
+    return tapsum(g, weight)
 
 
 def _tap_weight_grad(feats: jax.Array, idx_t: jax.Array, g: jax.Array):

@@ -111,6 +111,32 @@ def compute_class_weights(dataset: ScanListDataset) -> np.ndarray:
     return w / w.min()
 
 
+def compute_stats(dataset: ScanListDataset, out_dir: Optional[str] = None):
+    """Per-class point-count histogram (reference nuscenes_dataloader.py
+    compute_stats); optionally saves a bar plot per dataset split."""
+    num_classes = dataset.num_classes
+    counts = np.zeros(num_classes, np.int64)
+    for rec in dataset.data:
+        labels = dataset.map_labels(rec["seg_labels"])
+        counts += np.bincount(labels[labels != IGNORE], minlength=num_classes)
+    if out_dir is not None:
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+        fig, ax = plt.subplots(figsize=(8, 4))
+        ax.barh(dataset.merged_class_names, counts)
+        ax.grid(axis="x")
+        fig.tight_layout()
+        fig.savefig(osp.join(out_dir, f"{'_'.join(dataset.split)}_stats.png"))
+        plt.close(fig)
+    return counts
+
+
 # --------------------------------------------------------------------------
 # Static-shape padding + collation
 # --------------------------------------------------------------------------

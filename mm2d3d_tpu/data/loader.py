@@ -106,6 +106,18 @@ class Loader:
                 samples = [next(it) for _ in idxs]
                 yield collate(samples, self.n_points)
 
+    def iterate(self, num_iterations: int) -> Iterator[PointBatch]:
+        """Yield exactly `num_iterations` batches, cycling epochs with
+        reshuffling (reference lib/utils/sampler.py IterationBasedBatchSampler)."""
+        produced = 0
+        while produced < num_iterations:
+            for batch in self:
+                yield batch
+                produced += 1
+                if produced >= num_iterations:
+                    return
+            self.set_epoch(self.epoch + 1)
+
     def close(self):
         if self._pool is not None:
             self._pool.terminate()

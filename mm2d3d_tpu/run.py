@@ -27,17 +27,17 @@ def build_task(cfg: Dict, num_classes: int, axis_name=None):
 
     from .train.step import MM2D3DTask
 
+    from .train.losses import LossComposer
+
     m3 = cfg["models"]["net3d"]["backbone_3d"]
     params = cfg["train"]["params"]
-    ce = next(
-        (l for l in cfg.get("losses", []) if l["name"] == "cross_entropy"), {}
-    )
+    composer = LossComposer(cfg.get("losses", ["cross_entropy"]))
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         cfg["train"].get("compute_dtype", "bfloat16")
     ]
     return MM2D3DTask(
         num_classes=num_classes,
-        class_weights=ce.get("args", {}).get("weight"),
+        class_weights=composer.class_weights("segmentation"),
         lambda_xm_src=params.get("lambda_xm_src", 1.0),
         lambda_xm_trg=params.get("lambda_xm_trg", 0.1),
         full_scale=m3["full_scale"],
@@ -104,8 +104,35 @@ def main(argv=None):
     )
     snapshot_code(out_dir, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+    import jax
+
+    # data parallelism over all local devices (NCCL-DDP equivalent): batch
+    # sharded along the mesh "data" axis, grads/stats pmean'd (run.py:52-54,
+    # 262-268 in the reference)
+    mesh = None
+    axis_name = None
+    n_dev = jax.device_count()
+    dp = cfg["run"].get("data_parallel", "auto")
+    if dp != "off" and n_dev > 1:
+        if cfg["run"]["batch_size"] % n_dev == 0:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            axis_name = "data"
+            print(f"data parallel over {n_dev} devices")
+        elif dp == "on":
+            raise ValueError(
+                f"batch_size {cfg['run']['batch_size']} not divisible by "
+                f"{n_dev} devices"
+            )
+        else:
+            print(
+                f"warning: batch_size {cfg['run']['batch_size']} not divisible "
+                f"by {n_dev} devices; training single-device"
+            )
+
     dm = build_datamodule(cfg)
-    task = build_task(cfg, dm.num_classes)
+    task = build_task(cfg, dm.num_classes, axis_name=axis_name)
 
     # optional pretrained RGB backbone import (reference backbones.py:23-27)
     pretrained = cfg["models"]["net2d"].get("pretrained_backbone")
@@ -133,6 +160,7 @@ def main(argv=None):
         # host topology pipelining pays off on PCIe-attached TPU hosts; over
         # a low-bandwidth tunnel the array transfer dominates - default off.
         host_topology=cfg["train"].get("host_topology", False),
+        mesh=mesh,
     )
 
     import jax
@@ -154,6 +182,16 @@ def main(argv=None):
         stats2d["rgb_backbone"] = s
         trainer.state = trainer.state.replace(params2d=params2d, stats2d=stats2d)
         print(f"imported pretrained RGB backbone from {pretrained}")
+
+    # fail-fast trace smoke check before committing to training (analog of
+    # the reference's TorchScript-ability check, run.py:198-215); the
+    # sharded path traces inside shard_map, so check single-device only
+    if mesh is None:
+        first_dev = trainer._to_device(first)
+        jax.eval_shape(
+            trainer.task.train_step, trainer.state, first_dev, first_dev,
+            jax.random.PRNGKey(0),
+        )
 
     if run_cfg.get("mode", "train") == "train":
         trainer.fit(resume=run_cfg.get("resume", False))

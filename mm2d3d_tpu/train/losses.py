@@ -62,6 +62,77 @@ def kl_consistency(
     return jnp.sum(per_point * m) / jnp.maximum(jnp.sum(m), 1e-12)
 
 
+class LossComposer:
+    """Config-driven loss registry + composer (reference lib/losses.py:81-153).
+
+    cfg is a name, a list of names, or a list of
+    {name, weight, target, args} dicts; calling with a target sums
+    weight * loss over entries whose target matches.
+    Registry: cross_entropy (segmentation), l1/l2 (depth).
+    """
+
+    _REGISTRY = {
+        "cross_entropy": ("segmentation",),
+        "l1": ("depth",),
+        "l2": ("depth",),
+    }
+
+    def __init__(self, cfg):
+        if isinstance(cfg, str):
+            cfg = [cfg]
+        self._entries = []
+        for item in cfg:
+            if isinstance(item, str):
+                item = {"name": item}
+            name = item["name"]
+            if name not in self._REGISTRY:
+                raise ValueError(f"unknown loss {name!r}")
+            self._entries.append(
+                {
+                    "name": name,
+                    "weight": item.get("weight", 1.0),
+                    "target": item.get("target", self._REGISTRY[name][0]),
+                    "args": dict(item.get("args", {})),
+                }
+            )
+
+    def update_loss_params(self, name: str, target: str, **kwargs):
+        for e in self._entries:
+            if e["name"] == name and e["target"] == target:
+                e["args"].update(kwargs)
+
+    def class_weights(self, target: str = "segmentation"):
+        for e in self._entries:
+            if e["target"] == target and "weight" in e["args"]:
+                return e["args"]["weight"]
+        return None
+
+    def __call__(self, target: str, pred, gt, valid=None):
+        entries = [e for e in self._entries if e["target"] == target]
+        if not entries:
+            raise RuntimeError(f"no losses for target {target!r}")
+        out = 0.0
+        for e in entries:
+            if e["name"] == "cross_entropy":
+                w = e["args"].get("weight")
+                loss = weighted_cross_entropy(
+                    pred, gt, valid,
+                    None if w is None else jnp.asarray(w, jnp.float32),
+                )
+            elif e["name"] == "l1":
+                loss = l1_masked(pred, gt)
+            else:
+                loss = l2_masked(pred, gt)
+            out = out + e["weight"] * loss
+        return out
+
+    def __repr__(self):
+        return "+".join(
+            f"{e['weight'] if e['weight'] != 1.0 else ''}{e['name']}"
+            for e in self._entries
+        )
+
+
 def l1_masked(pred: jax.Array, gt: jax.Array) -> jax.Array:
     """Reference L1 depth loss (lib/losses.py:37-43): mean |pred-gt| over gt>0."""
     mask = (gt > 0).astype(jnp.float32)

@@ -25,14 +25,29 @@ def make_schedule(cfg: Optional[Dict[str, Any]], base_lr: float):
         return base_lr
     name = cfg["name"]
     if name == "one_cycle":
-        # torch OneCycleLR defaults: cos anneal, pct_start .3, div 25, final 1e4
-        return optax.cosine_onecycle_schedule(
-            transition_steps=cfg["total_steps"],
-            peak_value=cfg["max_lr"],
-            pct_start=cfg.get("pct_start", 0.3),
-            div_factor=cfg.get("div_factor", 25.0),
-            final_div_factor=cfg.get("final_div_factor", 1e4),
-        )
+        # torch-exact OneCycleLR (cos anneal): warmup spans
+        # pct_start*total - 1 steps (optax's variant is shifted by one step
+        # and diverges a few % mid-warmup).  Defaults: pct_start .3,
+        # div_factor 25, final_div_factor 1e4.
+        import jax.numpy as jnp
+
+        total = cfg["total_steps"]
+        max_lr = cfg["max_lr"]
+        initial = max_lr / cfg.get("div_factor", 25.0)
+        min_lr = initial / cfg.get("final_div_factor", 1e4)
+        su = max(float(cfg.get("pct_start", 0.3)) * total - 1, 1.0)
+        sd = max(total - su - 1, 1.0)
+
+        def schedule(step):
+            step = jnp.asarray(step, jnp.float32)
+            up = initial + (max_lr - initial) * 0.5 * (
+                1 - jnp.cos(jnp.pi * jnp.minimum(step, su) / su)
+            )
+            t = jnp.clip((step - su) / sd, 0.0, 1.0)
+            down = min_lr + (max_lr - min_lr) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+            return jnp.where(step <= su, up, down)
+
+        return schedule
     if name == "step":
         # torch StepLR(step_size, gamma): lr * gamma^(step // step_size)
         return optax.exponential_decay(
@@ -72,7 +87,17 @@ def make_optimizer(
     lr: float = 1e-3,
     lr_scheduler: Optional[Dict[str, Any]] = None,
     weight_decay: Optional[float] = None,
+    accumulate_steps: int = 1,
     **kwargs,
+) -> optax.GradientTransformation:
+    tx = _make_base(name, lr, lr_scheduler, weight_decay, **kwargs)
+    if accumulate_steps > 1:  # gradient accumulation (SURVEY.md §2.6)
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+def _make_base(
+    name, lr, lr_scheduler, weight_decay, **kwargs
 ) -> optax.GradientTransformation:
     schedule = make_schedule(lr_scheduler, lr)
     if name == "adamw":

@@ -110,8 +110,21 @@ class MM2D3DTask:
             num_planes=num_planes,
             compute_dtype=compute_dtype,
         )
-        self.tx2d = make_optimizer(**(optimizer_2d or {"name": "adamw", "lr": 1e-3}))
-        self.tx3d = make_optimizer(**(optimizer_3d or {"name": "adamw", "lr": 1e-3}))
+        opt2d = optimizer_2d or {"name": "adamw", "lr": 1e-3}
+        opt3d = optimizer_3d or {"name": "adamw", "lr": 1e-3}
+        self.tx2d = make_optimizer(**opt2d)
+        self.tx3d = make_optimizer(**opt3d)
+        # LR monitors (LearningRateMonitor equivalent, reference run.py:260)
+        from .optim import make_schedule
+
+        self.lr_schedule_2d = make_schedule(opt2d.get("lr_scheduler"), opt2d.get("lr", 1e-3))
+        self.lr_schedule_3d = make_schedule(opt3d.get("lr_scheduler"), opt3d.get("lr", 1e-3))
+
+    def current_lrs(self, step: int) -> Dict[str, float]:
+        def at(s):
+            return float(s(step)) if callable(s) else float(s)
+
+        return {"lr/net2d": at(self.lr_schedule_2d), "lr/net3d": at(self.lr_schedule_3d)}
 
     # -- state ---------------------------------------------------------------
 

@@ -89,6 +89,7 @@ class Trainer:
         class_palette=None,
         viz_dir: Optional[str] = None,
         host_topology: bool = False,
+        mesh=None,  # jax.sharding.Mesh for data-parallel training
     ):
         self.task = task
         self.source_loader = source_loader
@@ -115,6 +116,21 @@ class Trainer:
 
             host_topology = available()
         self.host_topology = host_topology
+        self.mesh = mesh
+        self._sharded_train = None
+        self._sharded_eval = None
+        if mesh is not None:
+            from ..parallel.mesh import (
+                make_sharded_eval_step,
+                make_sharded_train_step,
+            )
+
+            assert task.axis_name is not None, (
+                "multi-device training needs MM2D3DTask(axis_name='data')"
+            )
+            self._sharded_train = make_sharded_train_step(task, mesh)
+            self._sharded_eval = make_sharded_eval_step(task, mesh)
+            self.host_topology = False  # topo is built inside the sharded step
 
         self.global_step = 0
         self.start_epoch = 0
@@ -130,6 +146,10 @@ class Trainer:
 
     def init_or_resume(self, example_batch, resume: bool = False):
         self.state = self.task.init_state(jax.random.PRNGKey(self.seed), example_batch)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.state = replicate(self.state, self.mesh)
         if resume and self.ckpt.exists("last"):
             self.state, meta = self.ckpt.restore("last", self.state)
             self.best.update(meta.get("best", {}))
@@ -138,6 +158,10 @@ class Trainer:
             print(f"resumed from epoch {self.start_epoch}, step {self.global_step}")
 
     def _to_device(self, batch):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            return shard_batch(batch, self.mesh)
         return jax.tree_util.tree_map(
             lambda x: None if x is None else jnp.asarray(x), batch
         )
@@ -176,7 +200,11 @@ class Trainer:
                 ):
                     self._log_images(src_dev, "train_source")
                     self._log_images(trg_dev, "train_target")
-                if topo_src is not None:
+                if self._sharded_train is not None:
+                    self.state, logs = self._sharded_train(
+                        self.state, src_dev, trg_dev, self._rng
+                    )
+                elif topo_src is not None:
                     self.state, logs = self.task.jit_train_step_pre(
                         self.state, src_dev, trg_dev, self._rng,
                         self._to_device(topo_src), self._to_device(topo_trg),
@@ -189,7 +217,11 @@ class Trainer:
                 n += 1
                 if self.logger is not None:
                     self.logger.log_metrics(
-                        {k: float(v) for k, v in logs.items()}, self.global_step
+                        {
+                            **{k: float(v) for k, v in logs.items()},
+                            **self.task.current_lrs(self.global_step),
+                        },
+                        self.global_step,
                     )
                 if self.limit_train_batches and n >= self.limit_train_batches:
                     break
@@ -233,9 +265,14 @@ class Trainer:
 
     def _run_eval(self, loader: Loader, stage: str) -> Dict[str, float]:
         metrics = EvalMetrics.create(self.task.num_classes)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            metrics = replicate(metrics, self.mesh)
         losses = []
         for i, batch in enumerate(loader):
-            metrics, logs = self.task.jit_eval_step(
+            eval_fn = self._sharded_eval or self.task.jit_eval_step
+            metrics, logs = eval_fn(
                 self.state, self._to_device(batch), metrics
             )
             losses.append({k: float(v) for k, v in logs.items()})

@@ -41,6 +41,37 @@ def _task():
     )
 
 
+def test_trainer_multi_device_mesh(tmp_path):
+    """Full trainer loop over the 8-device CPU mesh (DDP equivalent)."""
+    from mm2d3d_tpu.parallel.mesh import make_mesh
+
+    class Loader8(SyntheticLoader):
+        def __iter__(self):
+            for i in range(self.n_batches):
+                yield make_batch(
+                    np.random.RandomState(self.seed + i), batch_size=8, **TINY
+                )
+
+    task = MM2D3DTask(
+        num_classes=6, full_scale=FULL_SCALE, num_planes=3, m=8,
+        compute_dtype=jnp.float32, axis_name="data",
+    )
+    trainer = Trainer(
+        task,
+        source_loader=Loader8(1, 0),
+        target_loader=Loader8(1, 50),
+        val_loader=Loader8(1, 100),
+        ckpt_dir=str(tmp_path / "ckpts"),
+        max_epochs=1,
+        mesh=make_mesh(),
+        limit_train_batches=1,
+        limit_val_batches=1,
+    )
+    state = trainer.fit()
+    assert int(np.asarray(state.step)) == 1
+    assert trainer.ckpt.exists("last")
+
+
 def test_trainer_fit_validate_resume(tmp_path):
     task = _task()
     logger = create_logger({}, out_dir=str(tmp_path))

@@ -99,67 +99,98 @@ def build_nbr(grid: VoxelGrid) -> jax.Array:
     hi_s, lo_s = grid.key_hi, grid.key_lo
     x, y, z = grid.coords[:, 0], grid.coords[:, 1], grid.coords[:, 2]
     rows = jnp.arange(v, dtype=jnp.int32)
-
     keys2 = jnp.stack([hi_s, lo_s], axis=1)  # (V, 2); row gathers are fast
 
-    def probe(idx, q_hi, q_lo, ok):
-        """Exact-match check of table row `idx` against query keys."""
-        in_table = (idx >= 0) & (idx < v)
-        idx_c = jnp.clip(idx, 0, v - 1)
-        kp = keys2[idx_c]
-        hit = in_table & ok & K.pairs_equal(kp[:, 0], kp[:, 1], q_hi, q_lo)
-        return jnp.where(hit, idx_c, v)
+    groups = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
 
-    cols = {}
-
-    # center: the row itself
-    cols[_offset_index(0, 0, 0)] = jnp.where(grid.valid, rows, v)
-
-    # (0, 0, ±1): adjacent rows of v
-    for dz in (-1, 1):
-        ok = grid.valid & (z + dz >= 0) & (z + dz < fs)
-        q_hi = grid.batch * fs + x
-        q_lo = y * fs + (z + dz)
-        cols[_offset_index(0, 0, dz)] = probe(rows + dz, q_hi, q_lo, ok)
-
-    # four half-space (dx, dy) groups: one search + adjacent-row probes
-    for dx, dy in ((-1, -1), (-1, 0), (-1, 1), (0, -1)):
+    # ---- ONE batched binary search for the four (dx, dy) groups
+    q_hi_g, q_lo_g, ok_g = [], [], []
+    for dx, dy in groups:
         ok_xy = (
             grid.valid
             & (x + dx >= 0) & (x + dx < fs)
             & (y + dy >= 0) & (y + dy < fs)
         )
-        q_hi = grid.batch * fs + (x + dx)
-        q_lo0 = (y + dy) * fs + z
-        s_hi, s_lo = K.mask_invalid(q_hi, q_lo0, ok_xy)
-        u = K.searchsorted_pairs(hi_s, lo_s, s_hi, s_lo)  # (V,) insertion pts
+        q_hi_g.append(grid.batch * fs + (x + dx))
+        q_lo_g.append((y + dy) * fs + z)
+        ok_g.append(ok_xy)
+    s_hi = jnp.stack(
+        [K.mask_invalid(h, l, o)[0] for h, l, o in zip(q_hi_g, q_lo_g, ok_g)]
+    )  # (4, V)
+    s_lo = jnp.stack(
+        [K.mask_invalid(h, l, o)[1] for h, l, o in zip(q_hi_g, q_lo_g, ok_g)]
+    )
+    u_all = K.searchsorted_pairs(hi_s, lo_s, s_hi, s_lo)  # (4, V)
 
+    # ---- all candidate probes in ONE (NC, V) row gather, batch-major layout
+    cand_rows, cand_hi, cand_lo, cand_ok = [], [], [], []
+    tap_slices = []  # (offset index, candidate ids)
+
+    def add(rowsv, qh, ql, ok):
+        cand_rows.append(rowsv)
+        cand_hi.append(qh)
+        cand_lo.append(ql)
+        cand_ok.append(ok)
+        return len(cand_rows) - 1
+
+    base_hi = grid.batch * fs + x
+    for dz in (-1, 1):
+        ok = grid.valid & (z + dz >= 0) & (z + dz < fs)
+        i = add(rows + dz, base_hi, y * fs + (z + dz), ok)
+        tap_slices.append((_offset_index(0, 0, dz), (i,)))
+
+    for g, (dx, dy) in enumerate(groups):
+        q_hi, q_lo0, ok_xy = q_hi_g[g], q_lo_g[g], ok_g[g]
+        u = u_all[g]
         for dz in (-1, 0, 1):
             ok = ok_xy & (z + dz >= 0) & (z + dz < fs)
             q_lo = q_lo0 + dz
             if dz == -1:
-                hit = probe(u - 1, q_hi, q_lo, ok)
+                idxs = (add(u - 1, q_hi, q_lo, ok),)
             elif dz == 0:
-                hit = probe(u, q_hi, q_lo, ok)
-            else:
-                # q+1z sits at u (if q absent) or u+1 (if q present)
-                hit_a = probe(u, q_hi, q_lo, ok)
-                hit_b = probe(u + 1, q_hi, q_lo, ok)
-                hit = jnp.minimum(hit_a, hit_b)
-            cols[_offset_index(dx, dy, dz)] = hit
+                idxs = (add(u, q_hi, q_lo, ok),)
+            else:  # q+1z sits at u (if q absent) or u+1 (if q present)
+                idxs = (add(u, q_hi, q_lo, ok), add(u + 1, q_hi, q_lo, ok))
+            tap_slices.append((_offset_index(dx, dy, dz), idxs))
 
-    # assemble computed half into the table, then invert for the rest:
-    # nbr[v, k] = u  ⟺  nbr[u, 26 - k] = v
-    nbr = jnp.full((v, 27), v, jnp.int32)
-    for k, col in cols.items():
-        nbr = nbr.at[:, k].set(col)
-    for k in sorted(cols):
+    c_rows = jnp.stack(cand_rows)  # (NC, V) — batch-major, natural layout
+    c_hi = jnp.stack(cand_hi)
+    c_lo = jnp.stack(cand_lo)
+    c_ok = jnp.stack(cand_ok)
+    in_table = (c_rows >= 0) & (c_rows < v)
+    c_clip = jnp.clip(c_rows, 0, v - 1)
+    kp = keys2[c_clip]  # ONE (NC, V, 2) row gather
+    hit = in_table & c_ok & (kp[..., 0] == c_hi) & (kp[..., 1] == c_lo)
+    resolved = jnp.where(hit, c_clip, v)  # (NC, V)
+
+    # ---- assemble the computed half (ONE stack along the tap axis), then
+    # ONE inversion scatter: nbr[u, 26-k] = v  <=>  nbr[v, k] = u
+    col_list = [None] * 27
+    col_list[_offset_index(0, 0, 0)] = jnp.where(grid.valid, rows, v)
+    for k, idxs in tap_slices:
+        col = resolved[idxs[0]]
+        for j in idxs[1:]:
+            col = jnp.minimum(col, resolved[j])
+        col_list[k] = col
+
+    computed = [k for k in range(27) if col_list[k] is not None]
+    for k in range(27):
+        if col_list[k] is None:
+            col_list[k] = jnp.full((v,), v, jnp.int32)
+    nbr_t = jnp.stack(col_list)  # (27, V) batch-major
+
+    src_rows, dst_cols, vals = [], [], []
+    for k in computed:
         if k == _offset_index(0, 0, 0):
             continue
-        col = cols[k]
+        col = nbr_t[k]
         matched = col < v
-        src = jnp.where(matched, col, v)  # scatter target row (v = dropped)
-        nbr = nbr.at[src, 26 - k].set(jnp.where(matched, rows, v), mode="drop")
+        src_rows.append(jnp.where(matched, col, v))
+        dst_cols.append(jnp.full((v,), 26 - k, jnp.int32))
+        vals.append(jnp.where(matched, rows, v))
+    nbr = nbr_t.T.at[
+        jnp.concatenate(src_rows), jnp.concatenate(dst_cols)
+    ].set(jnp.concatenate(vals), mode="drop")
     return nbr
 
 

@@ -68,7 +68,11 @@ def default_capacities(num_points: int, num_levels: int) -> Tuple[int, ...]:
     """
     caps = []
     for l in range(num_levels):
-        caps.append(max(256, num_points >> max(0, l - 1)))
+        if l == 1:
+            # measured occupancy ~P/2 (e.g. 32k of 65k points); 1.5x headroom
+            caps.append(max(256, (num_points * 3) >> 2))
+        else:
+            caps.append(max(256, num_points >> max(0, l - 1)))
     return tuple(caps)
 
 

@@ -115,3 +115,51 @@ def test_hierarchy_levels_shrink(rng):
     assert counts[0] >= counts[1] >= counts[2] > 0
     assert hier.levels[1].full_scale == FULL_SCALE // 2
     assert hier.levels[2].full_scale == FULL_SCALE // 4
+
+
+def test_propagated_nbr_matches_search(rng):
+    """Octree-propagated neighbor tables == per-level binary-search tables.
+
+    build_hierarchy searches only the coarsest level and propagates down
+    (hierarchy.propagate_nbr); with non-overflowing capacities the result
+    must be bit-identical to searching every level directly.
+    """
+    from mm2d3d_tpu.ops.hierarchy import build_nbr
+
+    cases = [
+        dict(p=400, hi=31, fs=32, b=2, cap=512, nlvl=4),
+        dict(p=120, hi=63, fs=64, b=1, cap=256, nlvl=6),  # down to 1^3
+        dict(p=64, hi=3, fs=64, b=2, cap=128, nlvl=3),  # dense tiny cube
+    ]
+    for case in cases:
+        coords = rng.randint(0, case["hi"] + 1, size=(case["p"], 3)).astype(np.int32)
+        batch = rng.randint(0, case["b"], size=(case["p"],)).astype(np.int32)
+        valid = rng.rand(case["p"]) < 0.9
+        grid = voxelize(
+            jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid),
+            case["fs"], capacity=case["cap"],
+        )
+        hier = build_hierarchy(
+            grid, num_levels=case["nlvl"],
+            capacities=(case["cap"],) * case["nlvl"],
+        )
+        for l, lvl in enumerate(hier.levels):
+            assert int(lvl.num_voxels) < lvl.capacity, "test premise: no overflow"
+            np.testing.assert_array_equal(
+                np.asarray(lvl.nbr), np.asarray(build_nbr(lvl)),
+                err_msg=f"case {case} level {l}",
+            )
+
+
+def test_propagated_nbr_all_invalid(rng):
+    from mm2d3d_tpu.ops.hierarchy import build_nbr
+
+    grid = voxelize(
+        jnp.zeros((32, 3), jnp.int32), jnp.zeros(32, jnp.int32),
+        jnp.zeros(32, bool), 64, capacity=64,
+    )
+    hier = build_hierarchy(grid, 3, capacities=(64, 64, 64))
+    for lvl in hier.levels:
+        np.testing.assert_array_equal(
+            np.asarray(lvl.nbr), np.asarray(build_nbr(lvl))
+        )

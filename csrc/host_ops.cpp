@@ -89,10 +89,29 @@ struct KeyHash {
   }
 };
 
+// 64-bit Morton spread: low 21 bits of v to bit positions 0, 3, 6, ...
+static inline uint64_t part1by2_64(uint64_t v) {
+  v &= 0x1FFFFFull;
+  v = (v | (v << 32)) & 0x001F00000000FFFFull;
+  v = (v | (v << 16)) & 0x001F0000FF0000FFull;
+  v = (v | (v << 8)) & 0x100F00F00F00F00Full;
+  v = (v | (v << 4)) & 0x10C30C30C30C30C3ull;
+  v = (v | (v << 2)) & 0x1249249249249249ull;
+  return v;
+}
+
+// (batch, morton(x, y, z)) sort key — mirrors ops/keys.pack's order.
+static inline uint64_t morton_key(int32_t b, const int32_t* c) {
+  uint64_t m = part1by2_64(static_cast<uint64_t>(c[2])) |
+               (part1by2_64(static_cast<uint64_t>(c[1])) << 1) |
+               (part1by2_64(static_cast<uint64_t>(c[0])) << 2);
+  return (static_cast<uint64_t>(static_cast<uint32_t>(b)) << 36) | m;
+}
+
 // Deduplicate integer voxel coords (N, 3) + batch (N,) into a sorted voxel
 // table with capacity `cap` rows.  Matches ops/voxelize.voxelize semantics:
 // - invalid/out-of-range points map to the dump row (index cap),
-// - rows sorted by (batch*fs + x, y*fs + z) ascending,
+// - rows sorted by (batch, morton(x, y, z)) ascending (see ops/keys.py),
 // - overflow voxels beyond cap dropped.
 // Outputs: vox_coords (cap,3) i32, vox_batch (cap,) i32 (-1 pad),
 //          p2v (N,) i32, counts (cap,) i32; returns num_voxels.
@@ -100,7 +119,7 @@ int32_t voxelize_dedup(const int32_t* coords, const int32_t* batch,
                        const uint8_t* valid, int32_t n, int32_t full_scale,
                        int32_t cap, int32_t* vox_coords, int32_t* vox_batch,
                        int32_t* p2v, int32_t* counts) {
-  std::vector<std::pair<Key, int32_t>> keyed;  // (key, point index)
+  std::vector<std::pair<uint64_t, int32_t>> keyed;  // (morton key, point idx)
   keyed.reserve(n);
   for (int32_t i = 0; i < n; ++i) {
     bool ok = valid[i];
@@ -108,8 +127,7 @@ int32_t voxelize_dedup(const int32_t* coords, const int32_t* batch,
     ok &= c[0] >= 0 && c[0] < full_scale && c[1] >= 0 && c[1] < full_scale &&
           c[2] >= 0 && c[2] < full_scale;
     if (ok) {
-      keyed.push_back({{batch[i] * full_scale + c[0], c[1] * full_scale + c[2]},
-                       i});
+      keyed.push_back({morton_key(batch[i], c), i});
     } else {
       p2v[i] = cap;
     }
@@ -122,7 +140,7 @@ int32_t voxelize_dedup(const int32_t* coords, const int32_t* batch,
   std::fill(vox_coords, vox_coords + 3 * static_cast<size_t>(cap), 0);
 
   int32_t nvox = -1;
-  Key prev{INT32_MIN, INT32_MIN};
+  uint64_t prev = ~0ull;
   for (const auto& [key, idx] : keyed) {
     if (nvox < 0 || !(key == prev)) {
       ++nvox;

@@ -21,11 +21,26 @@ from ..train.batch import PointBatch, default_capacities
 from ..ops import keys as K
 
 
+def _part1by2(v):
+    v = v.astype(np.uint32) & np.uint32(0x3FF)
+    v = (v ^ (v << 16)) & np.uint32(0xFF0000FF)
+    v = (v ^ (v << 8)) & np.uint32(0x0300F00F)
+    v = (v ^ (v << 4)) & np.uint32(0x030C30C3)
+    v = (v ^ (v << 2)) & np.uint32(0x09249249)
+    return v
+
+
 def _keys_for(coords, batch, valid, full_scale):
-    hi = batch * full_scale + coords[:, 0]
-    lo = coords[:, 1] * full_scale + coords[:, 2]
-    hi = np.where(valid, hi, np.iinfo(np.int32).max).astype(np.int32)
-    lo = np.where(valid, lo, np.iinfo(np.int32).max).astype(np.int32)
+    """(batch, morton) pair keys — numpy mirror of `ops.keys.pack`."""
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    lo = _part1by2(z) | (_part1by2(y) << 1) | (_part1by2(x) << 2)
+    hi6 = (
+        _part1by2(z >> 10) | (_part1by2(y >> 10) << 1) | (_part1by2(x >> 10) << 2)
+    )
+    hi = (batch.astype(np.uint32) << 6) | hi6
+    inv = np.iinfo(np.int32).max
+    hi = np.where(valid, hi.astype(np.int32), inv).astype(np.int32)
+    lo = np.where(valid, lo.astype(np.int32), inv).astype(np.int32)
     return hi, lo
 
 
@@ -61,7 +76,9 @@ def build_topology_host(
     levels = []
     transitions = []
     prev = dict(coords=vc, batch=vb, nvox=nvox, cap=cap0, fs=full_scale)
-    nbr = native.build_nbr27(vc, vb, nvox, cap0, full_scale)
+    nbr = np.ascontiguousarray(
+        native.build_nbr27(vc, vb, nvox, cap0, full_scale).T
+    )  # (27, cap) tap-major, matching ops.hierarchy.GridLevel.nbr
     levels.append(
         GridLevel(
             key_hi=hi, key_lo=lo, coords=vc, batch=vb, valid=row_valid,
@@ -81,7 +98,7 @@ def build_topology_host(
             prev["coords"], prev["batch"], prev["nvox"], prev["cap"],
             cc, cb, nv, cap, fs,
         )
-        nbr = native.build_nbr27(cc, cb, nv, cap, fs)
+        nbr = np.ascontiguousarray(native.build_nbr27(cc, cb, nv, cap, fs).T)
         rv = np.arange(cap) < nv
         hi, lo = _keys_for(cc, cb, rv, fs)
         levels.append(

@@ -30,7 +30,7 @@ import numpy as np
 from flax import struct
 
 from . import keys as K
-from .voxelize import VoxelGrid, voxelize
+from .voxelize import VoxelGrid, dedup_sorted, voxelize
 
 # Fixed kernel-offset orderings (define the weight layouts of spconv ops).
 OFFSETS_27 = np.array(
@@ -49,7 +49,9 @@ class GridLevel:
     batch: jax.Array  # (V,) int32
     valid: jax.Array  # (V,) bool
     num_voxels: jax.Array  # () int32
-    nbr: jax.Array  # (V, 27) int32 in [0, V]; V = missing neighbor
+    nbr: jax.Array  # (27, V) int32 in [0, V]; V = missing neighbor.
+    # Tap-major (V minor) so per-tap rows are dense vector lanes — both the
+    # conv gathers and the octree propagation read it this way.
     full_scale: int = struct.field(pytree_node=False)
 
     @property
@@ -79,119 +81,33 @@ def _offset_index(dx: int, dy: int, dz: int) -> int:
 def build_nbr(grid: VoxelGrid) -> jax.Array:
     """27-neighbor index table for submanifold 3x3x3 convolution.
 
-    Exploits the sorted voxel table instead of 27 independent hash probes
-    (SparseConvNet) or 27 binary searches:
-
-    - Keys are (b, x, y) major and z minor, so for each of the four
-      "half-space" (dx, dy) groups [(-1,-1), (-1,0), (-1,1), (0,-1)] ONE
-      binary search locates the (dx, dy, 0) query; the dz = -1/0/+1
-      neighbors then sit at adjacent rows (u-1, u, u+1) and are resolved by
-      O(1) key probes.
-    - (0, 0, ±1) neighbors are probes of rows v∓1 — no search at all.
-    - The remaining 13 offsets are the negations of computed ones:
-      nbr[u, 26-k] = v  ⟺  nbr[v, k] = u, filled by scatter.
-
-    Net: 4 binary searches per level instead of 27, and the searches run on
-    V-length query vectors instead of 27*V.
+    Generic sorted-table version: 26 exact-match lookups (one batched
+    binary search over the Morton-keyed table) plus the trivial center
+    column.  In the hierarchy build this runs ONLY at the coarsest (tiny)
+    level — all finer levels get their tables by octree propagation
+    (`propagate_nbr`), which is far cheaper than searching.  Also serves
+    as the reference implementation for tests.
     """
     v = grid.capacity
     fs = grid.full_scale
-    hi_s, lo_s = grid.key_hi, grid.key_lo
-    x, y, z = grid.coords[:, 0], grid.coords[:, 1], grid.coords[:, 2]
     rows = jnp.arange(v, dtype=jnp.int32)
-    keys2 = jnp.stack([hi_s, lo_s], axis=1)  # (V, 2); row gathers are fast
 
-    groups = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
-
-    # ---- ONE batched binary search for the four (dx, dy) groups
-    q_hi_g, q_lo_g, ok_g = [], [], []
-    for dx, dy in groups:
-        ok_xy = (
-            grid.valid
-            & (x + dx >= 0) & (x + dx < fs)
-            & (y + dy >= 0) & (y + dy < fs)
-        )
-        q_hi_g.append(grid.batch * fs + (x + dx))
-        q_lo_g.append((y + dy) * fs + z)
-        ok_g.append(ok_xy)
-    s_hi = jnp.stack(
-        [K.mask_invalid(h, l, o)[0] for h, l, o in zip(q_hi_g, q_lo_g, ok_g)]
-    )  # (4, V)
-    s_lo = jnp.stack(
-        [K.mask_invalid(h, l, o)[1] for h, l, o in zip(q_hi_g, q_lo_g, ok_g)]
+    offs = np.delete(OFFSETS_27, _offset_index(0, 0, 0), axis=0)  # (26, 3)
+    qc = grid.coords[None, :, :] + jnp.asarray(offs)[:, None, :]  # (26, V, 3)
+    ok = (
+        grid.valid[None, :]
+        & (qc >= 0).all(-1)
+        & (qc < fs).all(-1)
     )
-    u_all = K.searchsorted_pairs(hi_s, lo_s, s_hi, s_lo)  # (4, V)
+    q_hi, q_lo = K.pack(qc, jnp.broadcast_to(grid.batch, (26, v)), fs)
+    q_hi, q_lo = K.mask_invalid(q_hi, q_lo, ok)
+    hit = K.lookup_pairs(grid.key_hi, grid.key_lo, q_hi, q_lo, missing=v)
 
-    # ---- all candidate probes in ONE (NC, V) row gather, batch-major layout
-    cand_rows, cand_hi, cand_lo, cand_ok = [], [], [], []
-    tap_slices = []  # (offset index, candidate ids)
-
-    def add(rowsv, qh, ql, ok):
-        cand_rows.append(rowsv)
-        cand_hi.append(qh)
-        cand_lo.append(ql)
-        cand_ok.append(ok)
-        return len(cand_rows) - 1
-
-    base_hi = grid.batch * fs + x
-    for dz in (-1, 1):
-        ok = grid.valid & (z + dz >= 0) & (z + dz < fs)
-        i = add(rows + dz, base_hi, y * fs + (z + dz), ok)
-        tap_slices.append((_offset_index(0, 0, dz), (i,)))
-
-    for g, (dx, dy) in enumerate(groups):
-        q_hi, q_lo0, ok_xy = q_hi_g[g], q_lo_g[g], ok_g[g]
-        u = u_all[g]
-        for dz in (-1, 0, 1):
-            ok = ok_xy & (z + dz >= 0) & (z + dz < fs)
-            q_lo = q_lo0 + dz
-            if dz == -1:
-                idxs = (add(u - 1, q_hi, q_lo, ok),)
-            elif dz == 0:
-                idxs = (add(u, q_hi, q_lo, ok),)
-            else:  # q+1z sits at u (if q absent) or u+1 (if q present)
-                idxs = (add(u, q_hi, q_lo, ok), add(u + 1, q_hi, q_lo, ok))
-            tap_slices.append((_offset_index(dx, dy, dz), idxs))
-
-    c_rows = jnp.stack(cand_rows)  # (NC, V) — batch-major, natural layout
-    c_hi = jnp.stack(cand_hi)
-    c_lo = jnp.stack(cand_lo)
-    c_ok = jnp.stack(cand_ok)
-    in_table = (c_rows >= 0) & (c_rows < v)
-    c_clip = jnp.clip(c_rows, 0, v - 1)
-    kp = keys2[c_clip]  # ONE (NC, V, 2) row gather
-    hit = in_table & c_ok & (kp[..., 0] == c_hi) & (kp[..., 1] == c_lo)
-    resolved = jnp.where(hit, c_clip, v)  # (NC, V)
-
-    # ---- assemble the computed half (ONE stack along the tap axis), then
-    # ONE inversion scatter: nbr[u, 26-k] = v  <=>  nbr[v, k] = u
-    col_list = [None] * 27
-    col_list[_offset_index(0, 0, 0)] = jnp.where(grid.valid, rows, v)
-    for k, idxs in tap_slices:
-        col = resolved[idxs[0]]
-        for j in idxs[1:]:
-            col = jnp.minimum(col, resolved[j])
-        col_list[k] = col
-
-    computed = [k for k in range(27) if col_list[k] is not None]
-    for k in range(27):
-        if col_list[k] is None:
-            col_list[k] = jnp.full((v,), v, jnp.int32)
-    nbr_t = jnp.stack(col_list)  # (27, V) batch-major
-
-    src_rows, dst_cols, vals = [], [], []
-    for k in computed:
-        if k == _offset_index(0, 0, 0):
-            continue
-        col = nbr_t[k]
-        matched = col < v
-        src_rows.append(jnp.where(matched, col, v))
-        dst_cols.append(jnp.full((v,), 26 - k, jnp.int32))
-        vals.append(jnp.where(matched, rows, v))
-    nbr = nbr_t.T.at[
-        jnp.concatenate(src_rows), jnp.concatenate(dst_cols)
-    ].set(jnp.concatenate(vals), mode="drop")
-    return nbr
+    cols = [None] * 27
+    cols[_offset_index(0, 0, 0)] = jnp.where(grid.valid, rows, v)
+    for j, (dx, dy, dz) in enumerate(offs.tolist()):
+        cols[_offset_index(dx, dy, dz)] = hit[j]
+    return jnp.stack(cols, axis=0)  # (27, V)
 
 
 def propagate_nbr(
@@ -214,14 +130,19 @@ def propagate_nbr(
     down-conv contribution is dropped by the same event, so the regimes
     coincide; size capacities to avoid overflow).
 
+    Layout note: tables are tap-major (27, V).  Gathers produce row-major
+    (rows, 27)/(rows, 8) blocks, which are immediately transposed back to
+    V-minor — the parity selects then read dense (Vf,) vector rows instead
+    of lane-padded narrow columns (~3x faster end to end).
+
     Args:
       fine: the fine-level voxel grid.
       trans: fine->coarse transition (`parent`, `child`).
-      nbr_c: (Vc, 27) neighbor table of the coarse level.
-    Returns: (Vf, 27) neighbor table; Vf = missing.
+      nbr_c: (27, Vc) neighbor table of the coarse level.
+    Returns: (27, Vf) neighbor table; Vf = missing.
     """
     vf = fine.capacity
-    vc = nbr_c.shape[0]
+    vc = nbr_c.shape[1]
     rows = jnp.arange(vf, dtype=jnp.int32)
     par = fine.coords & 1
     parx = par[:, 0] == 1
@@ -242,19 +163,21 @@ def propagate_nbr(
         )
 
     # parent's 27 coarse neighbors; dumped parents hit the sentinel row
-    nbr_c_pad = jnp.concatenate([nbr_c, jnp.full((1, 27), vc, jnp.int32)], 0)
-    prow = nbr_c_pad[trans.parent]  # (Vf, 27)
+    nbr_c_rows = jnp.concatenate(
+        [nbr_c.T, jnp.full((1, 27), vc, jnp.int32)], 0
+    )  # (Vc + 1, 27)
+    prow_t = nbr_c_rows[trans.parent].T  # (27, Vf)
 
     # the 8 parent-block rows: per axis, coarse offset = par - 1 + a
     pns = []
     for ax, ay, az in itertools.product((0, 1), repeat=3):
         cand = {
-            (px, py, pz): prow[:, (px + ax) * 9 + (py + ay) * 3 + (pz + az)]
+            (px, py, pz): prow_t[(px + ax) * 9 + (py + ay) * 3 + (pz + az)]
             for px, py, pz in itertools.product((0, 1), repeat=3)
         }
         pns.append(tree(cand))
     child_pad = jnp.concatenate([trans.child, jnp.full((1, 8), vf, jnp.int32)], 0)
-    crows = child_pad[jnp.stack(pns)]  # (8, Vf, 8)
+    crows_t = child_pad[jnp.stack(pns)].transpose(0, 2, 1)  # (8, 8, Vf)
 
     def axis_sel(d, p):
         """Per-axis (parent-block index a, child slot s) for tap offset d."""
@@ -273,9 +196,9 @@ def propagate_nbr(
             ayy, sy = axis_sel(dy, py)
             azz, sz = axis_sel(dz, pz)
             i = axx * 4 + ayy * 2 + azz
-            cand[(px, py, pz)] = crows[i, :, sx * 4 + sy * 2 + sz]
+            cand[(px, py, pz)] = crows_t[i, sx * 4 + sy * 2 + sz]
         cols.append(tree(cand))
-    return jnp.stack(cols, axis=1)  # (Vf, 27)
+    return jnp.stack(cols, axis=0)  # (27, Vf)
 
 
 def _level_from_grid(grid: VoxelGrid, nbr: Optional[jax.Array] = None) -> GridLevel:
@@ -299,10 +222,14 @@ def _coarsen_grid(grid: VoxelGrid, capacity: Optional[int] = None):
     """
     vf = grid.capacity
     coarse_coords = grid.coords >> 1
-    grid_c = voxelize(
+    # Morton keys of right-shifted coords of a sorted table are already
+    # sorted (morton(c >> 1) == morton(c) >> 3) — dedup without sorting.
+    hi, lo = K.pack(coarse_coords, grid.batch, grid.full_scale // 2)
+    hi, lo = K.mask_invalid(hi, lo, grid.valid)
+    grid_c = dedup_sorted(
+        hi,
+        lo,
         coarse_coords,
-        grid.batch,
-        grid.valid,
         grid.full_scale // 2,
         capacity=capacity,
     )

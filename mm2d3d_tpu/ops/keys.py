@@ -6,14 +6,23 @@ TPU/XLA-friendly replacement for SparseConvNet's coordinate hash maps
 
 A voxel site is identified by (batch, x, y, z) with x, y, z < full_scale
 (4096 in the reference config).  4096^3 * B does not fit an int32, and TPUs
-have no fast int64, so we identify a site by a *pair* of int32 keys:
+have no fast int64, so we identify a site by a *pair* of int32 keys holding
+(batch, morton(x, y, z)) — the 36-bit z-order/Morton interleave of the
+coordinates, batch-major:
 
-    hi = batch * full_scale + x          (fits easily: B * 4096 + 4095)
-    lo = y * full_scale + z              (< 2^24 for full_scale = 4096)
+    hi = (batch << 6) | morton_bits[30:36]
+    lo = morton_bits[0:30]
 
-Pairs are ordered lexicographically ((hi, lo) tuples).  All grid machinery
-(dedup, neighbor lookup, parent/child maps) reduces to sorting pair keys and
-vectorized binary search over the sorted table — everything static-shape.
+Pairs are ordered lexicographically ((hi, lo) tuples), which equals
+(batch, morton) order.  Morton order is chosen over plain (b, x, y, z)
+lexicographic order because right-shifting coordinates preserves it:
+``morton(c >> 1) == morton(c) >> 3``, so every stride-2 coarsening of a
+sorted voxel table is ALREADY SORTED — the U-Net grid hierarchy needs one
+point sort at level 0 and zero sorts afterwards (sorts and scatters are the
+expensive ops on TPU).  A parent's 8 children also occupy one contiguous
+row range.  All grid machinery (dedup, neighbor lookup, parent/child maps)
+reduces to sorted segment ops and vectorized binary search over the sorted
+table — everything static-shape.
 """
 
 from __future__ import annotations
@@ -25,15 +34,44 @@ import jax.numpy as jnp
 INVALID = jnp.iinfo(jnp.int32).max
 
 
-def pack(coords: jax.Array, batch: jax.Array, full_scale: int):
+def _part1by2(v: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of uint32 `v` to bit positions 0,3,...,27."""
+    v = v & jnp.uint32(0x3FF)
+    v = (v ^ (v << 16)) & jnp.uint32(0xFF0000FF)
+    v = (v ^ (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v ^ (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v ^ (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def pack(coords: jax.Array, batch: jax.Array, full_scale: int = 0):
     """Pack integer voxel coords (..., 3) + batch index (...) into pair keys.
 
-    Does not validate ranges; callers must mask out-of-range entries.
+    Keys are (batch, morton(x, y, z)); see module docstring.  Coordinates
+    must be in [0, 4096) (12 bits); `full_scale` is accepted for signature
+    stability but unused.  Does not validate ranges; callers must mask
+    out-of-range entries.
     """
-    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
-    hi = batch * full_scale + x
-    lo = y * full_scale + z
-    return hi, lo
+    x = coords[..., 0].astype(jnp.uint32)
+    y = coords[..., 1].astype(jnp.uint32)
+    z = coords[..., 2].astype(jnp.uint32)
+    lo = (
+        _part1by2(z)
+        | (_part1by2(y) << 1)
+        | (_part1by2(x) << 2)
+    )  # low 30 morton bits
+    hi6 = (
+        _part1by2(z >> 10)
+        | (_part1by2(y >> 10) << 1)
+        | (_part1by2(x >> 10) << 2)
+    )  # morton bits 30..35
+    hi = (batch.astype(jnp.uint32) << 6) | hi6
+    return hi.astype(jnp.int32), lo.astype(jnp.int32)
+
+
+def batch_of(hi: jax.Array) -> jax.Array:
+    """Batch index from the hi key."""
+    return hi >> 6
 
 
 def mask_invalid(hi: jax.Array, lo: jax.Array, valid: jax.Array):

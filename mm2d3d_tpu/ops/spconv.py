@@ -122,7 +122,7 @@ def subm_conv3(
     Returns: (V, Cout) fp32.
     """
     return _subm_apply(
-        feats.astype(compute_dtype), weight.astype(compute_dtype), level.nbr.T
+        feats.astype(compute_dtype), weight.astype(compute_dtype), level.nbr
     )
 
 

@@ -69,7 +69,6 @@ def voxelize(
         (their points map to the dump row).
     """
     p = coords.shape[0]
-    v_cap = capacity if capacity is not None else p
 
     in_range = (coords >= 0).all(-1) & (coords < full_scale).all(-1)
     valid = valid & in_range
@@ -78,7 +77,30 @@ def voxelize(
     hi, lo = K.mask_invalid(hi, lo, valid)
 
     perm = K.lexsort_pairs(hi, lo)
-    hs, ls = hi[perm], lo[perm]
+    return _dedup(
+        hi[perm], lo[perm], coords[perm], full_scale, capacity, perm=perm
+    )
+
+
+def dedup_sorted(
+    hi: jax.Array,
+    lo: jax.Array,
+    coords: jax.Array,
+    full_scale: int,
+    capacity: Optional[int] = None,
+) -> VoxelGrid:
+    """`voxelize` for inputs whose pair keys are ALREADY sorted ascending
+    (INVALID-keyed rows last) — skips the sort and the p2v inversion scatter.
+
+    Used for stride-2 coarsening: Morton keys of a sorted table's
+    right-shifted coords are sorted by construction (see `ops.keys`).
+    """
+    return _dedup(hi, lo, coords, full_scale, capacity, perm=None)
+
+
+def _dedup(hs, ls, coords_s, full_scale, capacity, perm):
+    p = hs.shape[0]
+    v_cap = capacity if capacity is not None else p
     valid_s = hs != K.INVALID
 
     prev = jnp.maximum(jnp.arange(p) - 1, 0)
@@ -98,7 +120,7 @@ def voxelize(
         ls, seg, num_segments=nseg, indices_are_sorted=True
     )[:v_cap]
     vox_coords = jax.ops.segment_min(
-        coords[perm], seg, num_segments=nseg, indices_are_sorted=True
+        coords_s, seg, num_segments=nseg, indices_are_sorted=True
     )[:v_cap]
     counts = jax.ops.segment_sum(
         jnp.ones((p,), jnp.int32), seg, num_segments=nseg, indices_are_sorted=True
@@ -106,9 +128,21 @@ def voxelize(
 
     row_valid = jnp.arange(v_cap) < jnp.minimum(num_voxels, v_cap)
     vox_coords = jnp.where(row_valid[:, None], vox_coords, 0)
-    vox_batch = jnp.where(row_valid, key_hi // full_scale, -1)
+    vox_batch = jnp.where(row_valid, K.batch_of(key_hi), -1)
 
-    p2v = jnp.zeros((p,), jnp.int32).at[perm].set(seg)
+    if perm is None:
+        p2v = seg  # rows were already in table order
+    else:
+        p2v = jnp.zeros((p,), jnp.int32).at[perm].set(seg)
+
+    # Pin the table: its fields are read by many downstream consumers
+    # (neighbor propagation, transitions, convs); without the barrier XLA's
+    # fusion can re-run the cumsum/segment chain inside each of them.
+    key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts = (
+        jax.lax.optimization_barrier(
+            (key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts)
+        )
+    )
 
     return VoxelGrid(
         key_hi=key_hi,

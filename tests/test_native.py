@@ -57,7 +57,7 @@ def test_nbr_and_transition_match_device(rng):
     vc = np.asarray(grid.coords)
     vb = np.asarray(grid.batch)
     nbr = native.build_nbr27(vc, vb, nvox, cap, FULL_SCALE)
-    np.testing.assert_array_equal(nbr, np.asarray(hier.levels[0].nbr))
+    np.testing.assert_array_equal(nbr, np.asarray(hier.levels[0].nbr).T)
 
     lvl1 = hier.levels[1]
     nvox1 = int(lvl1.num_voxels)

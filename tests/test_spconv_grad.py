@@ -68,7 +68,7 @@ def test_subm_conv_grads(rng):
 
     _check_grads(
         lambda f, ww: subm_conv3(f, lvl, ww, compute_dtype=jnp.float32),
-        lambda f, ww: _plain_tap_conv(f, lvl.nbr.T, ww),
+        lambda f, ww: _plain_tap_conv(f, lvl.nbr, ww),
         (feats, w),
     )
 

@@ -13,15 +13,26 @@ from mm2d3d_tpu.ops.voxelize import voxelize, pool_features, unpool_features
 FULL_SCALE = 64
 
 
+def _morton(b, x, y, z):
+    """Independent bit-by-bit (batch, morton) key for order checks."""
+    b, x, y, z = int(b), int(x), int(y), int(z)
+    m = 0
+    for k in range(12):
+        m |= ((z >> k) & 1) << (3 * k)
+        m |= ((y >> k) & 1) << (3 * k + 1)
+        m |= ((x >> k) & 1) << (3 * k + 2)
+    return (b << 36) | m
+
+
 def _oracle(coords, batch, valid, feats):
-    """Returns sorted unique sites, mean feats, and per-point voxel key."""
+    """Returns morton-sorted unique sites, mean feats, per-point voxel key."""
     table = {}
     for i in range(len(coords)):
         if not valid[i]:
             continue
         key = (batch[i], *coords[i])
         table.setdefault(key, []).append(feats[i])
-    skeys = sorted(table.keys())
+    skeys = sorted(table.keys(), key=lambda k: _morton(*k))
     means = np.stack([np.mean(table[k], axis=0) for k in skeys]) if skeys else np.zeros((0, feats.shape[1]))
     return skeys, means
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.lifting import lift_image_features
-from .resnet2d import ResNet34Encoder
+from .resnet2d import ResNet34Encoder, StemParams
 
 
 def _avg_pool_5x5(x: jax.Array) -> jax.Array:
@@ -101,17 +101,36 @@ class Net2DSeg(nn.Module):
             img = jnp.pad(img, pad)
             depth = jnp.pad(depth, pad)
 
+        # Fused dual stem: both 7x7 stride-1 stem convolutions run as ONE
+        # block-diagonal conv over the 4-channel concat — exactly equivalent
+        # (the cross blocks are zero) and ~2x faster, because Cin-starved
+        # convs are latency-bound, not FLOP-bound, on the MXU.
+        stem_rgb = StemParams(3, frozen_bn=self.frozen_batch_norm, name="stem_rgb")
+        stem_depth = StemParams(1, name="stem_depth")
+        k = jnp.zeros((7, 7, 4, 128), self.compute_dtype)
+        k = k.at[:, :, :3, :64].set(stem_rgb().astype(self.compute_dtype))
+        k = k.at[:, :, 3:, 64:].set(stem_depth().astype(self.compute_dtype))
+        x4 = jnp.concatenate([img, depth], -1).astype(self.compute_dtype)
+        stem_out = jax.lax.conv_general_dilated(
+            x4, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        rgb_stem = stem_rgb(stem_out[..., :64], train)
+        depth_stem = stem_depth(stem_out[..., 64:], train)
+
         rgb_feats = ResNet34Encoder(
             num_channels=3,
             compute_dtype=self.compute_dtype,
             frozen_bn=self.frozen_batch_norm,
+            skip_stem=True,
             name="rgb_backbone",
-        )(img.astype(self.compute_dtype), train)
+        )(rgb_stem, train)
         depth_feats = ResNet34Encoder(
             num_channels=1,
             compute_dtype=self.compute_dtype,
+            skip_stem=True,
             name="depth_backbone",
-        )(depth.astype(self.compute_dtype), train)
+        )(depth_stem, train)
 
         # decoder (channels mirror the reference: 512*2 -> 256 -> ... -> 64)
         x = UpStage(256, self.compute_dtype, name="up5")(

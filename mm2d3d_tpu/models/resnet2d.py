@@ -86,21 +86,28 @@ class BasicBlock(nn.Module):
 
 
 class ResNet34Encoder(nn.Module):
-    """5-skip ResNet-34 with stride-1 stem (reference backbones.py:43-65)."""
+    """5-skip ResNet-34 with stride-1 stem (reference backbones.py:43-65).
+
+    With ``skip_stem=True`` the module owns no stem parameters and expects
+    its input to already be the stem's ConvBN output (64 channels,
+    pre-ReLU) — used by Net2DSeg's fused dual-stem path.
+    """
 
     num_channels: int = 3
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     compute_dtype: Any = jnp.bfloat16
     frozen_bn: bool = False
     dropout_rate: float = 0.4
+    skip_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         feats = []
-        x = ConvBN(
-            64, 7, strides=1, compute_dtype=self.compute_dtype,
-            frozen_bn=self.frozen_bn, name="stem",
-        )(x, train)
+        if not self.skip_stem:
+            x = ConvBN(
+                64, 7, strides=1, compute_dtype=self.compute_dtype,
+                frozen_bn=self.frozen_bn, name="stem",
+            )(x, train)
         x = nn.relu(x)
         feats.append(x)  # stride 1, 64ch
 
@@ -123,3 +130,49 @@ class ResNet34Encoder(nn.Module):
             feats.append(x)
 
         return feats  # strides 1,2,4,8,16; channels 64,64,128,256,512
+
+
+class _Kernel(nn.Module):
+    """Bare conv-kernel holder; param path mimics nn.Conv ("<name>/kernel")."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), tuple(self.shape)
+        )
+
+
+class StemParams(nn.Module):
+    """Owns one encoder stem's parameters for the fused dual-stem path.
+
+    Parameter tree matches ConvBN's stem exactly ("conv/kernel" + "bn"), so
+    torchvision imports keep the same per-stem layout.  Call with no args to
+    read the 7x7 kernel; call with the (already convolved) stem output to
+    apply the stem's BatchNorm.
+    """
+
+    cin: int
+    frozen_bn: bool = False
+
+    @nn.compact
+    def __call__(self, conv_out=None, train: bool = False):
+        kernel = _Kernel((7, 7, self.cin, 64), name="conv")()
+        if conv_out is None:
+            return kernel
+        x = conv_out
+        if self.frozen_bn:
+            c = x.shape[-1]
+            scale = self.param("bn_scale", nn.initializers.ones, (c,))
+            bias = self.param("bn_bias", nn.initializers.zeros, (c,))
+            mean = self.variable("batch_stats", "bn_mean", jnp.zeros, (c,))
+            var = self.variable("batch_stats", "bn_var", jnp.ones, (c,))
+            y = (x.astype(jnp.float32) - mean.value) * jax.lax.rsqrt(
+                var.value + 1e-5
+            )
+            return (y * scale + bias).astype(x.dtype)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn",
+        )(x)

@@ -87,13 +87,26 @@ def load_pretrained_backbone(checkpoint_path: str) -> Tuple[Dict, Dict]:
 
 def graft_backbone(variables: Dict, backbone_name: str, params: Dict, stats: Dict) -> Dict:
     """Return a copy of a Net2DSeg variables pytree with `backbone_name`
-    (e.g. "rgb_backbone") replaced by the imported weights."""
+    (e.g. "rgb_backbone") replaced by the imported weights.
+
+    Net2DSeg hoists the stem into its fused dual-stem module: the imported
+    "stem" subtree lands at "stem_rgb" / "stem_depth" alongside the trunk.
+    """
     import jax
+
+    params, stats = dict(params), dict(stats)
+    stem_name = {"rgb_backbone": "stem_rgb", "depth_backbone": "stem_depth"}[
+        backbone_name
+    ]
+    stem_p = params.pop("stem")
+    stem_s = stats.pop("stem")
 
     new_vars = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
     new_vars = dict(new_vars)
     new_vars["params"] = dict(new_vars["params"])
     new_vars["params"][backbone_name] = params
+    new_vars["params"][stem_name] = stem_p
     new_vars["batch_stats"] = dict(new_vars.get("batch_stats", {}))
     new_vars["batch_stats"][backbone_name] = stats
+    new_vars["batch_stats"][stem_name] = stem_s
     return new_vars

@@ -94,11 +94,14 @@ def dedup_sorted(
 
     Used for stride-2 coarsening: Morton keys of a sorted table's
     right-shifted coords are sorted by construction (see `ops.keys`).
+    The returned grid's `counts` are zeros (unused above level 0).
     """
-    return _dedup(hi, lo, coords, full_scale, capacity, perm=None)
+    return _dedup(
+        hi, lo, coords, full_scale, capacity, perm=None, with_counts=False
+    )
 
 
-def _dedup(hs, ls, coords_s, full_scale, capacity, perm):
+def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     p = hs.shape[0]
     v_cap = capacity if capacity is not None else p
     valid_s = hs != K.INVALID
@@ -122,13 +125,20 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm):
     vox_coords = jax.ops.segment_min(
         coords_s, seg, num_segments=nseg, indices_are_sorted=True
     )[:v_cap]
-    counts = jax.ops.segment_sum(
-        jnp.ones((p,), jnp.int32), seg, num_segments=nseg, indices_are_sorted=True
-    )[:v_cap]
 
     row_valid = jnp.arange(v_cap) < jnp.minimum(num_voxels, v_cap)
     vox_coords = jnp.where(row_valid[:, None], vox_coords, 0)
     vox_batch = jnp.where(row_valid, K.batch_of(key_hi), -1)
+
+    if with_counts:
+        counts = jax.ops.segment_sum(
+            jnp.ones((p,), jnp.int32), seg, num_segments=v_cap + 1,
+            indices_are_sorted=True,
+        )[:v_cap]
+    else:
+        # Points-per-voxel is only consumed by mode-4 pooling at level 0;
+        # grid-hierarchy levels skip the segment_sum scatter.
+        counts = jnp.zeros((v_cap,), jnp.int32)
 
     if perm is None:
         p2v = seg  # rows were already in table order

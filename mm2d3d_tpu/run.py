@@ -176,8 +176,12 @@ def main(argv=None):
         from .models.torch_import import load_pretrained_backbone
 
         p, s = load_pretrained_backbone(pretrained)
+        p, s = dict(p), dict(s)
         params2d = dict(trainer.state.params2d)
         stats2d = dict(trainer.state.stats2d)
+        # Net2DSeg hoists the stem into the fused dual-stem module
+        params2d["stem_rgb"] = p.pop("stem")
+        stats2d["stem_rgb"] = s.pop("stem")
         params2d["rgb_backbone"] = p
         stats2d["rgb_backbone"] = s
         trainer.state = trainer.state.replace(params2d=params2d, stats2d=stats2d)

@@ -111,3 +111,43 @@ def test_cli_fast_dev_run(workspace):
     assert (out / "ckpts" / "last").exists()
     assert (out / "metrics.jsonl").exists()
     assert (out / "code_snapshot" / "mm2d3d_tpu").exists()
+
+
+def test_pseudo_label_generation_round_trip(workspace):
+    """fast_dev_run -> generate pselab .npy from the ckpt -> retrain with
+    pselab_paths consuming it (the self-training loop, SURVEY D10)."""
+    cfg_path = str(workspace / "configs" / "config.yaml")
+    main(["--config", cfg_path])
+
+    from mm2d3d_tpu.tools.generate_pseudo_labels import generate
+    from mm2d3d_tpu.utils.config import load_config
+
+    out_npy = str(workspace / "runs" / "t" / "pselab" / "target_train.npy")
+    cfg = load_config(cfg_path, [])
+    if "train_overrides" in cfg:
+        from mm2d3d_tpu.utils.config import _deep_merge
+
+        cfg["train"] = _deep_merge(cfg["train"], cfg.pop("train_overrides"))
+    records = generate(cfg, "last", out_npy)
+
+    # schema: one record per target-train scan, full-scan-length arrays
+    import pickle
+
+    with open(workspace / "data" / "preprocess" / "train_singapore.pkl", "rb") as f:
+        scans = pickle.load(f)
+    assert len(records) == len(scans)
+    for rec, scan in zip(records, scans):
+        n = len(scan["points"])
+        for key in ("probs_2d", "pseudo_label_2d", "probs_3d",
+                    "pseudo_label_3d", "probs_ensemble", "pseudo_label_ensemble"):
+            assert len(rec[key]) == n
+        assert rec["probs_2d"].max() <= 1.0
+
+    # retrain consuming the generated labels through pselab_paths
+    import yaml
+
+    tiny = workspace / "configs" / "datasets" / "tiny.yaml"
+    d = yaml.safe_load(tiny.read_text())
+    d["dataset"]["target"]["pselab_paths"] = out_npy
+    tiny.write_text(yaml.safe_dump(d))
+    main(["--config", cfg_path])

@@ -92,16 +92,30 @@ def _subm_apply(feats, weight, nbr_t):
 
 
 def _subm_fwd(feats, weight, nbr_t):
-    return _subm_apply(feats, weight, nbr_t), (feats, weight, nbr_t)
+    from .pallas.tapsum import tapsum
+
+    # Gather once; save the gathered neighborhoods as the residual.  The
+    # weight gradient needs exactly this tensor, and re-gathering it in the
+    # backward pass would cost another 27V descriptor-bound gather — far
+    # more than the HBM to keep it alive.
+    padded = _pad_zero_row(feats)
+    gathered = jnp.take(padded, nbr_t, axis=0)  # (K, V, Cin)
+    out = tapsum(gathered, weight)
+    return out, (gathered, weight, nbr_t)
 
 
 def _subm_bwd(res, g):
-    feats, weight, nbr_t = res
-    g = g.astype(feats.dtype)
+    gathered, weight, nbr_t = res
+    g = g.astype(gathered.dtype)
     # adjoint conv: negated taps (row 26-k) with transposed matrices
     w_flip = weight[::-1].swapaxes(1, 2)
-    d_feats = _tap_gather_matmul(g, nbr_t, w_flip).astype(feats.dtype)
-    d_weight = _tap_weight_grad(feats, nbr_t, g).astype(weight.dtype)
+    d_feats = _tap_gather_matmul(g, nbr_t, w_flip).astype(gathered.dtype)
+    d_weight = jax.lax.dot_general(
+        gathered, g,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(gathered.dtype),
+    ).astype(weight.dtype)  # (K, Cin, Cout)
     return d_feats, d_weight, _int_zero(nbr_t)
 
 
@@ -151,18 +165,28 @@ def _down_apply(fine_feats, weight, child_t, parent, off_id):
 
 
 def _down_fwd(fine_feats, weight, child_t, parent, off_id):
-    out = _down_apply(fine_feats, weight, child_t, parent, off_id)
-    return out, (fine_feats, weight, child_t, parent, off_id)
+    from .pallas.tapsum import tapsum
+
+    # gather once, keep for the weight gradient (see _subm_fwd)
+    padded = _pad_zero_row(fine_feats)
+    gathered = jnp.take(padded, child_t, axis=0)  # (8, Vc, Cin)
+    out = tapsum(gathered, weight)
+    return out, (gathered, weight, child_t, parent, off_id)
 
 
 def _down_bwd(res, g):
-    fine_feats, weight, child_t, parent, off_id = res
-    g = g.astype(fine_feats.dtype)
+    gathered, weight, child_t, parent, off_id = res
+    g = g.astype(gathered.dtype)
     # transpose of down conv = deconv through (parent, off_id)
     d_fine = _up_apply_raw(g, weight.swapaxes(1, 2), parent, off_id).astype(
-        fine_feats.dtype
+        gathered.dtype
     )
-    d_weight = _tap_weight_grad(fine_feats, child_t, g).astype(weight.dtype)
+    d_weight = jax.lax.dot_general(
+        gathered, g,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(gathered.dtype),
+    ).astype(weight.dtype)
     return (d_fine, d_weight, _int_zero(child_t), _int_zero(parent),
             _int_zero(off_id))
 

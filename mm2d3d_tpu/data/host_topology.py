@@ -51,11 +51,12 @@ def build_topology_host(
     full_scale: int,
     num_levels: int,
     capacities: Optional[Sequence[int]] = None,
+    batch_size: Optional[int] = None,
 ) -> Tuple[VoxelGrid, Hierarchy]:
     assert native.available(), "native host ops unavailable"
     p = len(coords)
     if capacities is None:
-        capacities = default_capacities(p, num_levels)
+        capacities = default_capacities(p, num_levels, batch_size=batch_size)
 
     coords = np.ascontiguousarray(coords, np.int32)
     bidx = np.ascontiguousarray(bidx, np.int32)
@@ -124,4 +125,4 @@ def topology_for_batch(
     bidx = np.repeat(np.arange(b, dtype=np.int32), n)
     valid = np.asarray(batch.point_mask).reshape(b * n)
     return build_topology_host(coords, bidx, valid, full_scale, num_levels,
-                               capacities)
+                               capacities=capacities, batch_size=b)

@@ -56,23 +56,35 @@ def flatten_points(batch: PointBatch):
     return coords, feats, labels, mask, bidx
 
 
-def default_capacities(num_points: int, num_levels: int) -> Tuple[int, ...]:
+def default_capacities(
+    num_points: int, num_levels: int, batch_size: Optional[int] = None
+) -> Tuple[int, ...]:
     """Per-level voxel-row capacities.
 
     Real LiDAR occupancy roughly halves per level below level 1 (measured on
     beam-structured scans: [48k, 32k, 19k, 10k, 5k, 2.3k, 1.1k] for 65k
-    points), so full-capacity tables at every level waste ~4x gather work.
-    Schedule: [P, P, P/2, P/4, ...] with a floor — ~1.5-2x headroom over
-    measured occupancy.  Overflowing voxels are dropped to the dump row
-    (monitor `num_voxels == capacity`).
+    points = 8 scans), so full-capacity tables at every level waste ~4x
+    gather work.  Schedule: [P, 3P/4, P/2, P/4, ...] with ~1.5-2x headroom
+    over measured occupancy.
+
+    Coarse-level occupancy scales with SCENE EXTENT per scan, not with
+    point count (per scan: ~1.3k/625/290/138 rows at levels 3-6 almost
+    independently of density), so when `batch_size` is known each level
+    also gets a per-scan floor — without it, low point budgets silently
+    overflow the deep tables.  Overflowing voxels are dropped to the dump
+    row (monitored as `train/voxel_overflow_levels`).
     """
     caps = []
     for l in range(num_levels):
         if l == 1:
             # measured occupancy ~P/2 (e.g. 32k of 65k points); 1.5x headroom
-            caps.append(max(256, (num_points * 3) >> 2))
+            cap = (num_points * 3) >> 2
         else:
-            caps.append(max(256, num_points >> max(0, l - 1)))
+            cap = num_points >> max(0, l - 1)
+        if batch_size is not None and l >= 3:
+            per_scan_floor = 2048 >> min(l - 3, 3)  # 2048/1024/512/256...
+            cap = max(cap, batch_size * per_scan_floor)
+        caps.append(max(256, min(cap, num_points)))
     return tuple(caps)
 
 
@@ -90,7 +102,9 @@ def build_topology(
     """
     coords, _, _, mask, bidx = flatten_points(batch)
     if capacities is None:
-        capacities = default_capacities(coords.shape[0], num_levels)
+        capacities = default_capacities(
+            coords.shape[0], num_levels, batch_size=batch.batch_size
+        )
     grid = voxelize(coords, bidx, mask, full_scale, capacity=capacities[0])
     hier = build_hierarchy(grid, num_levels, capacities=capacities)
     return grid, hier

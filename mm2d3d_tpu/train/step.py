@@ -267,6 +267,14 @@ class MM2D3DTask:
         grads, (stats2d, stats3d, logs) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params2d, state.params3d)
+        # voxel-table overflow monitor: the capacity schedule trades speed
+        # for headroom; a level at capacity silently drops voxels, so
+        # surface it (0 = healthy; > 0 = raise capacities)
+        logs["train/voxel_overflow_levels"] = sum(
+            (lvl.num_voxels >= lvl.capacity).astype(jnp.float32)
+            for topo in (topo_src, topo_trg)
+            for lvl in topo[1].levels
+        )
         grads = self._pmean(grads)
         stats2d = self._pmean(stats2d)
         stats3d = self._pmean(stats3d)

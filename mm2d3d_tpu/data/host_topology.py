@@ -44,6 +44,23 @@ def _keys_for(coords, batch, valid, full_scale):
     return hi, lo
 
 
+def _build_slots_np(nbr: np.ndarray, num_slots: int):
+    """Numpy mirror of `ops.hierarchy.build_slots` (same slot order)."""
+    from ..ops.pallas.slotconv import MISS_TAP
+
+    k, v = nbr.shape
+    hit = nbr < v
+    hit[13] = False  # center tap excluded (gather-free in the conv)
+    # stable sort moves hit taps first, preserving tap order per column
+    order = np.argsort(~hit, axis=0, kind="stable")[:num_slots]  # (H, V)
+    cols = np.arange(v)[None, :]
+    taken = hit[order, cols]
+    src = np.where(taken, nbr[order, cols], v).astype(np.int32)
+    tap = np.where(taken, order, MISS_TAP).astype(np.int32)
+    dropped = np.int32(np.maximum(hit.sum(0) - num_slots, 0).sum())
+    return src, tap, dropped
+
+
 def build_topology_host(
     coords: np.ndarray,  # (P, 3) int
     bidx: np.ndarray,  # (P,) int
@@ -52,11 +69,24 @@ def build_topology_host(
     num_levels: int,
     capacities: Optional[Sequence[int]] = None,
     batch_size: Optional[int] = None,
+    slot_caps: Optional[Sequence[Optional[int]]] = "default",
 ) -> Tuple[VoxelGrid, Hierarchy]:
     assert native.available(), "native host ops unavailable"
     p = len(coords)
     if capacities is None:
         capacities = default_capacities(p, num_levels, batch_size=batch_size)
+    if slot_caps == "default":
+        from ..train.batch import default_slot_caps
+
+        slot_caps = default_slot_caps(num_levels)
+
+    def _slots_for(level_idx, nbr):
+        h = (slot_caps[level_idx]
+             if slot_caps is not None and level_idx < len(slot_caps) else None)
+        if not h:
+            return {}
+        src, tap, dropped = _build_slots_np(nbr, h)
+        return dict(slot_src=src, slot_tap=tap, slot_overflow=dropped)
 
     coords = np.ascontiguousarray(coords, np.int32)
     bidx = np.ascontiguousarray(bidx, np.int32)
@@ -84,6 +114,7 @@ def build_topology_host(
         GridLevel(
             key_hi=hi, key_lo=lo, coords=vc, batch=vb, valid=row_valid,
             num_voxels=np.int32(nvox), nbr=nbr, full_scale=full_scale,
+            **_slots_for(0, nbr),
         )
     )
 
@@ -106,6 +137,7 @@ def build_topology_host(
             GridLevel(
                 key_hi=hi, key_lo=lo, coords=cc, batch=cb, valid=rv,
                 num_voxels=np.int32(nv), nbr=nbr, full_scale=fs,
+                **_slots_for(l, nbr),
             )
         )
         transitions.append(

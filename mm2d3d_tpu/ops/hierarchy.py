@@ -53,6 +53,13 @@ class GridLevel:
     # Tap-major (V minor) so per-tap rows are dense vector lanes — both the
     # conv gathers and the octree propagation read it this way.
     full_scale: int = struct.field(pytree_node=False)
+    # Slot-compacted form of `nbr` (see `build_slots`): per voxel, the
+    # first `H` off-center hits as (source row, tap id).  Consumed by the
+    # slot-compacted submanifold conv (`ops.spconv` / `ops.pallas.slotconv`);
+    # None = use the dense 27-tap path.
+    slot_src: Optional[jax.Array] = None  # (H, V) int32 in [0, V]; V = empty
+    slot_tap: Optional[jax.Array] = None  # (H, V) int32 in [0, 27); 27 = empty
+    slot_overflow: Optional[jax.Array] = None  # () int32 dropped-hit count
 
     @property
     def capacity(self) -> int:
@@ -78,15 +85,26 @@ def _offset_index(dx: int, dy: int, dz: int) -> int:
     return (dx + 1) * 9 + (dy + 1) * 3 + (dz + 1)
 
 
-def build_nbr(grid: VoxelGrid) -> jax.Array:
+# Dense-map lookup is used when the full occupancy table fits comfortably
+# in VMEM (fs^3 * batches entries of int32): gathers from a VMEM-resident
+# table run ~10x faster than the 12-round binary search.
+_DENSE_NBR_MAX_ENTRIES = 1 << 22  # 4M entries = 16 MB int32
+
+
+def build_nbr(grid: VoxelGrid, num_batches: Optional[int] = None) -> jax.Array:
     """27-neighbor index table for submanifold 3x3x3 convolution.
 
-    Generic sorted-table version: 26 exact-match lookups (one batched
-    binary search over the Morton-keyed table) plus the trivial center
-    column.  In the hierarchy build this runs ONLY at the coarsest (tiny)
-    level — all finer levels get their tables by octree propagation
+    Generic sorted-table version: 26 exact-match lookups plus the trivial
+    center column.  In the hierarchy build this runs ONLY at the coarsest
+    (tiny) level — all finer levels get their tables by octree propagation
     (`propagate_nbr`), which is far cheaper than searching.  Also serves
     as the reference implementation for tests.
+
+    Lookup strategy: if `num_batches` is given and the level's dense
+    occupancy map (fs^3 * num_batches int32) fits in VMEM, ONE scatter of
+    the active rows builds the map and the 26 probes become direct
+    gathers; otherwise a batched binary search over the sorted Morton
+    table (log2(V)+1 rounds of row gathers).
     """
     v = grid.capacity
     fs = grid.full_scale
@@ -99,15 +117,80 @@ def build_nbr(grid: VoxelGrid) -> jax.Array:
         & (qc >= 0).all(-1)
         & (qc < fs).all(-1)
     )
-    q_hi, q_lo = K.pack(qc, jnp.broadcast_to(grid.batch, (26, v)), fs)
-    q_hi, q_lo = K.mask_invalid(q_hi, q_lo, ok)
-    hit = K.lookup_pairs(grid.key_hi, grid.key_lo, q_hi, q_lo, missing=v)
+
+    if (
+        num_batches is not None
+        and fs <= 1024  # morton fits the lo key alone
+        and fs ** 3 * num_batches <= _DENSE_NBR_MAX_ENTRIES
+    ):
+        cell_count = fs ** 3 * num_batches
+        _, own_lo = K.pack(grid.coords, grid.batch, fs)
+        own_flat = jnp.where(
+            grid.valid, grid.batch * (fs ** 3) + own_lo, cell_count
+        )
+        # 2-D (N, 1) layout: row scatters/gathers, not the slow 1-D
+        # scalar-gather path (cf. ops.keys.searchsorted_pairs note)
+        dense = jnp.zeros((cell_count + 1, 1), jnp.int32).at[own_flat].set(
+            (rows + 1)[:, None], indices_are_sorted=True, unique_indices=False
+        )
+        _, q_lo = K.pack(qc, jnp.broadcast_to(grid.batch, (26, v)), fs)
+        q_flat = jnp.where(
+            ok, jnp.broadcast_to(grid.batch, (26, v)) * (fs ** 3) + q_lo,
+            cell_count,
+        )
+        hit = jnp.take(dense, q_flat, axis=0)[..., 0] - 1  # -1 = missing
+        # `ok` must mask the RESULT too: masked scatters and masked queries
+        # share the dump cell, which holds a stale row index, not 0
+        hit = jnp.where(ok & (hit >= 0), hit, v)
+    else:
+        q_hi, q_lo = K.pack(qc, jnp.broadcast_to(grid.batch, (26, v)), fs)
+        q_hi, q_lo = K.mask_invalid(q_hi, q_lo, ok)
+        hit = K.lookup_pairs(grid.key_hi, grid.key_lo, q_hi, q_lo, missing=v)
 
     cols = [None] * 27
     cols[_offset_index(0, 0, 0)] = jnp.where(grid.valid, rows, v)
     for j, (dx, dy, dz) in enumerate(offs.tolist()):
         cols[_offset_index(dx, dy, dz)] = hit[j]
     return jnp.stack(cols, axis=0)  # (27, V)
+
+
+def build_slots(nbr: jax.Array, num_slots: int):
+    """Compact the dense 27-neighbor table into per-voxel hit slots.
+
+    LiDAR occupancy means only ~2-7 of the 26 off-center taps hit per voxel
+    (measured; see PERFORMANCE.md), so the dense table wastes most of the
+    conv's descriptor-bound gather rows on the zero pad row.  This packs
+    each column's off-center hits into its first `num_slots` slots:
+
+        slot_src[h, v] = nbr[k_h, v]   (the h-th hit's source row; V = empty)
+        slot_tap[h, v] = k_h           (its tap id; 27 = empty)
+
+    The center tap (k=13) is excluded — it is gather-free for the conv.
+    Hits beyond `num_slots` are DROPPED (their count is returned for
+    monitoring; size `num_slots` so this stays 0 — like the voxel-capacity
+    schedule, it is a static-shape capacity knob, not an approximation
+    that is expected to bind).
+
+    Returns: (slot_src (H, V) int32, slot_tap (H, V) int32, dropped () int32).
+    """
+    from .pallas.slotconv import MISS_TAP
+
+    v = nbr.shape[1]
+    h_caps = num_slots
+    src = [jnp.full((v,), v, jnp.int32) for _ in range(h_caps)]
+    tap = [jnp.full((v,), MISS_TAP, jnp.int32) for _ in range(h_caps)]
+    cnt = jnp.zeros((v,), jnp.int32)
+    for k in range(27):
+        if k == _offset_index(0, 0, 0):
+            continue
+        hit = nbr[k] < v
+        for h in range(h_caps):
+            sel = hit & (cnt == h)
+            src[h] = jnp.where(sel, nbr[k], src[h])
+            tap[h] = jnp.where(sel, k, tap[h])
+        cnt = cnt + hit.astype(jnp.int32)
+    dropped = jnp.sum(jnp.maximum(cnt - h_caps, 0))
+    return jnp.stack(src), jnp.stack(tap), dropped
 
 
 def propagate_nbr(
@@ -255,6 +338,8 @@ def build_hierarchy(
     grid: VoxelGrid,
     num_levels: int,
     capacities: Optional[Sequence[int]] = None,
+    slot_caps: Optional[Sequence[Optional[int]]] = None,
+    num_batches: Optional[int] = None,
 ) -> Hierarchy:
     """Build all U-Net levels from the level-0 voxel grid.
 
@@ -267,6 +352,11 @@ def build_hierarchy(
       num_levels: number of U-Net levels (reference: num_planes = 7).
       capacities: per-level row capacities (len num_levels); defaults to the
         level-0 capacity everywhere (safe but not the cheapest).
+      slot_caps: per-level slot-table capacities for the slot-compacted
+        submanifold conv (`build_slots`); None/0 entries keep the dense path
+        at that level.  None disables slot tables everywhere.
+      num_batches: static batch count; enables the dense-map neighbor
+        lookup at the coarsest level (see `build_nbr`).
     """
     grids = [grid]
     transitions = []
@@ -277,11 +367,16 @@ def build_hierarchy(
         transitions.append(trans)
 
     nbrs = [None] * num_levels
-    nbrs[-1] = build_nbr(grids[-1])
+    nbrs[-1] = build_nbr(grids[-1], num_batches=num_batches)
     for l in range(num_levels - 2, -1, -1):
         nbrs[l] = propagate_nbr(grids[l], transitions[l], nbrs[l + 1])
 
-    levels = tuple(
-        _level_from_grid(g, nbr=n) for g, n in zip(grids, nbrs)
-    )
-    return Hierarchy(levels=levels, transitions=tuple(transitions))
+    levels = []
+    for l, (g, n) in enumerate(zip(grids, nbrs)):
+        lev = _level_from_grid(g, nbr=n)
+        h = slot_caps[l] if slot_caps is not None and l < len(slot_caps) else None
+        if h:
+            src, tap, dropped = build_slots(n, h)
+            lev = lev.replace(slot_src=src, slot_tap=tap, slot_overflow=dropped)
+        levels.append(lev)
+    return Hierarchy(levels=tuple(levels), transitions=tuple(transitions))

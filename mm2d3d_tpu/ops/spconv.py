@@ -122,6 +122,78 @@ def _subm_bwd(res, g):
 _subm_apply.defvjp(_subm_fwd, _subm_bwd)
 
 
+# --- slot-compacted variant (see ops/pallas/slotconv.py for the rationale):
+# gathers only the H per-voxel hit slots instead of all 27 tap rows; the
+# center tap is a gather-free masked matmul.  Exact as long as the slot
+# table did not drop hits (`GridLevel.slot_overflow` == 0, monitored).
+
+def _slot_center(feats, weight13, valid):
+    ctr = jnp.where(valid[:, None], feats, jnp.zeros_like(feats))
+    return jnp.dot(
+        ctr, weight13,
+        preferred_element_type=jnp.float32,
+        precision=_precision(feats.dtype),
+    )
+
+
+@jax.custom_vjp
+def _subm_apply_slots(feats, weight, slot_src, slot_tap, valid):
+    from .pallas.slotconv import slot_apply
+
+    padded = _pad_zero_row(feats)
+    x_src = jnp.take(padded, slot_src, axis=0)  # (H, V, Cin)
+    return slot_apply(x_src, slot_tap, weight) + _slot_center(
+        feats, weight[13], valid
+    )
+
+
+def _subm_slots_fwd(feats, weight, slot_src, slot_tap, valid):
+    from .pallas.slotconv import slot_apply
+
+    padded = _pad_zero_row(feats)
+    x_src = jnp.take(padded, slot_src, axis=0)  # (H, V, Cin) — kept as the
+    # residual: the weight gradient needs exactly this tensor (cf. _subm_fwd)
+    out = slot_apply(x_src, slot_tap, weight) + _slot_center(
+        feats, weight[13], valid
+    )
+    return out, (x_src, feats, weight, slot_src, slot_tap, valid)
+
+
+def _subm_slots_bwd(res, g):
+    from .pallas.slotconv import slot_apply, slot_dw
+
+    x_src, feats, weight, slot_src, slot_tap, valid = res
+    g = g.astype(feats.dtype)
+    # adjoint conv: same slot table read at the destination column, with
+    # negated taps (row 26-k) and transposed matrices — exactly the dense
+    # path's adjoint structure (_subm_bwd), compacted.
+    w_flip = weight[::-1].swapaxes(1, 2)
+    g_pad = _pad_zero_row(g)
+    g_src = jnp.take(g_pad, slot_src, axis=0)  # (H, V, Cout)
+    d_feats = slot_apply(g_src, slot_tap, w_flip) + _slot_center(
+        g, weight[13].T, valid
+    )
+    d_weight = slot_dw(x_src, slot_tap, g)  # (27, Cin, Cout); row 13 zero
+    ctr = jnp.where(valid[:, None], feats, jnp.zeros_like(feats))
+    dw13 = jax.lax.dot_general(
+        ctr, g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(feats.dtype),
+    )
+    d_weight = d_weight.at[13].add(dw13)
+    return (
+        d_feats.astype(feats.dtype),
+        d_weight.astype(weight.dtype),
+        _int_zero(slot_src),
+        _int_zero(slot_tap),
+        _int_zero(valid),
+    )
+
+
+_subm_apply_slots.defvjp(_subm_slots_fwd, _subm_slots_bwd)
+
+
 def subm_conv3(
     feats: jax.Array,
     level: GridLevel,
@@ -130,11 +202,19 @@ def subm_conv3(
 ) -> jax.Array:
     """Submanifold 3x3x3 convolution: active sites only, no dilation.
 
+    Uses the slot-compacted path when the level carries slot tables
+    (`hierarchy.build_slots`), else the dense 27-tap gather.
+
     Args:
       feats: (V, Cin) voxel features at `level`.
       weight: (27, Cin, Cout), tap order = `hierarchy.OFFSETS_27`.
     Returns: (V, Cout) fp32.
     """
+    if level.slot_src is not None:
+        return _subm_apply_slots(
+            feats.astype(compute_dtype), weight.astype(compute_dtype),
+            level.slot_src, level.slot_tap, level.valid,
+        )
     return _subm_apply(
         feats.astype(compute_dtype), weight.astype(compute_dtype), level.nbr
     )

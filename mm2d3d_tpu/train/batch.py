@@ -88,11 +88,29 @@ def default_capacities(
     return tuple(caps)
 
 
+def default_slot_caps(num_levels: int) -> Tuple[Optional[int], ...]:
+    """Per-level slot-table capacities for the compacted submanifold conv.
+
+    Off-center hit counts on LiDAR scans are small (measured means 2-6,
+    p99 <= 14, maxima 9-19 by level; see PERFORMANCE.md), so level 0 — the
+    biggest, most gather-dominated level, with the SMALLEST hit counts —
+    gets a slot table sized ~30% above the observed maximum.  Deeper levels
+    keep the dense path: their hit counts (hence H) grow while V shrinks,
+    and the slot kernel's VPU-bound tap dispatch (~H*27*Co*V selects)
+    overtakes the gather rows it saves (measured: slots win 3.9 -> 2.85 ms
+    per conv at L0 but lose at L1+).  `GridLevel.slot_overflow` (logged as
+    train/nbr_slot_overflow) monitors that the cap does not bind.
+    """
+    base = (12,)
+    return tuple(base[l] if l < len(base) else None for l in range(num_levels))
+
+
 def build_topology(
     batch: PointBatch,
     full_scale: int,
     num_levels: int,
     capacities: Optional[Tuple[int, ...]] = None,
+    slot_caps: Optional[Tuple[Optional[int], ...]] = "default",
 ) -> Tuple[VoxelGrid, Hierarchy]:
     """Voxelize the batch and build the sparse U-Net hierarchy.
 
@@ -105,6 +123,15 @@ def build_topology(
         capacities = default_capacities(
             coords.shape[0], num_levels, batch_size=batch.batch_size
         )
+    if slot_caps == "default":
+        slot_caps = default_slot_caps(num_levels)
     grid = voxelize(coords, bidx, mask, full_scale, capacity=capacities[0])
-    hier = build_hierarchy(grid, num_levels, capacities=capacities)
-    return grid, hier
+    hier = build_hierarchy(
+        grid, num_levels, capacities=capacities, slot_caps=slot_caps,
+        num_batches=batch.batch_size,
+    )
+    # Pin the finished topology: when the nets consume it inside one big
+    # jitted graph, XLA otherwise interleaves table construction with conv
+    # fusions, re-materializing parts of it (measured ~2.5 ms/step at the
+    # flagship size).
+    return jax.lax.optimization_barrier((grid, hier))

@@ -275,6 +275,14 @@ class MM2D3DTask:
             for topo in (topo_src, topo_trg)
             for lvl in topo[1].levels
         )
+        # same monitor for the slot-compacted conv tables (hits dropped
+        # because a level's slot cap bound; 0 = healthy, see build_slots)
+        logs["train/nbr_slot_overflow"] = sum(
+            lvl.slot_overflow.astype(jnp.float32)
+            for topo in (topo_src, topo_trg)
+            for lvl in topo[1].levels
+            if lvl.slot_overflow is not None
+        ) + jnp.float32(0.0)
         grads = self._pmean(grads)
         stats2d = self._pmean(stats2d)
         stats3d = self._pmean(stats3d)

@@ -163,3 +163,62 @@ def test_propagated_nbr_all_invalid(rng):
         np.testing.assert_array_equal(
             np.asarray(lvl.nbr), np.asarray(build_nbr(lvl))
         )
+
+
+def test_subm_conv_slots_match_dense(rng):
+    """Slot-compacted path == dense path (fp32): generous caps, zero drops."""
+    hier, feats, nvox = _setup(rng)
+    grid_lvl = hier.levels[0]
+    cin, cout = feats.shape[1], 5
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+
+    from mm2d3d_tpu.ops.hierarchy import build_slots
+
+    src, tap, dropped = build_slots(grid_lvl.nbr, 26)
+    assert int(dropped) == 0
+    slotted = grid_lvl.replace(slot_src=src, slot_tap=tap, slot_overflow=dropped)
+
+    dense = subm_conv3(jnp.asarray(feats), grid_lvl, w, compute_dtype=jnp.float32)
+    slots = subm_conv3(jnp.asarray(feats), slotted, w, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(slots), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_subm_conv_slot_overflow_counted(rng):
+    """A too-small slot cap reports exactly the dropped-hit count."""
+    hier, feats, nvox = _setup(rng)
+    lvl = hier.levels[0]
+    from mm2d3d_tpu.ops.hierarchy import build_slots
+
+    nbr = np.asarray(lvl.nbr)
+    v = nbr.shape[1]
+    hits = (nbr < v).sum(0) - (nbr[13] < v).astype(np.int64)  # off-center
+    for h in (1, 3):
+        _, _, dropped = build_slots(lvl.nbr, h)
+        assert int(dropped) == int(np.maximum(hits - h, 0).sum())
+
+
+def test_host_slot_build_matches_device(rng):
+    """Numpy slot build (host topology path) == device build, same order."""
+    hier, _, _ = _setup(rng)
+    lvl = hier.levels[0]
+    from mm2d3d_tpu.data.host_topology import _build_slots_np
+    from mm2d3d_tpu.ops.hierarchy import build_slots
+
+    for h in (4, 12, 26):
+        src_d, tap_d, drop_d = build_slots(lvl.nbr, h)
+        src_h, tap_h, drop_h = _build_slots_np(np.asarray(lvl.nbr), h)
+        np.testing.assert_array_equal(np.asarray(src_d), src_h)
+        np.testing.assert_array_equal(np.asarray(tap_d), tap_h)
+        assert int(drop_d) == int(drop_h)
+
+
+def test_build_nbr_dense_map_matches_search(rng):
+    """Dense occupancy-map lookup == binary-search lookup."""
+    from mm2d3d_tpu.ops.hierarchy import build_nbr
+
+    hier, _, _ = _setup(rng)
+    for lvl in hier.levels:
+        a = np.asarray(build_nbr(lvl))
+        b = np.asarray(build_nbr(lvl, num_batches=4))
+        np.testing.assert_array_equal(a, b)

@@ -97,3 +97,21 @@ def test_up_conv_grads(rng):
         lambda f, ww: _plain_up(f, ww, t.parent, t.off_id),
         (cfeats, w),
     )
+
+
+def test_subm_conv_slot_grads(rng):
+    """Slot-path custom VJP == autodiff of the plain dense formulation."""
+    from mm2d3d_tpu.ops.hierarchy import build_slots
+
+    hier, feats = _setup(rng)
+    lvl = hier.levels[0]
+    src, tap, dropped = build_slots(lvl.nbr, 26)
+    assert int(dropped) == 0
+    slotted = lvl.replace(slot_src=src, slot_tap=tap, slot_overflow=dropped)
+    w = jnp.asarray(rng.randn(27, feats.shape[1], 4).astype(np.float32) * 0.1)
+
+    _check_grads(
+        lambda f, ww: subm_conv3(f, slotted, ww, compute_dtype=jnp.float32),
+        lambda f, ww: _plain_tap_conv(f, lvl.nbr, ww),
+        (feats, w),
+    )

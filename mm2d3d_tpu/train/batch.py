@@ -91,17 +91,17 @@ def default_capacities(
 def default_slot_caps(num_levels: int) -> Tuple[Optional[int], ...]:
     """Per-level slot-table capacities for the compacted submanifold conv.
 
-    Off-center hit counts on LiDAR scans are small (measured means 2-6,
-    p99 <= 14, maxima 9-19 by level; see PERFORMANCE.md), so level 0 — the
+    Off-center hit counts on LiDAR scans are small (level 0: mean ~2.4,
+    p99.9 <= 10, max 13 across seeds; see PERFORMANCE.md), so level 0 — the
     biggest, most gather-dominated level, with the SMALLEST hit counts —
-    gets a slot table sized ~30% above the observed maximum.  Deeper levels
+    gets a slot table sized just above the observed maximum.  Deeper levels
     keep the dense path: their hit counts (hence H) grow while V shrinks,
     and the slot kernel's VPU-bound tap dispatch (~H*27*Co*V selects)
     overtakes the gather rows it saves (measured: slots win 3.9 -> 2.85 ms
     per conv at L0 but lose at L1+).  `GridLevel.slot_overflow` (logged as
     train/nbr_slot_overflow) monitors that the cap does not bind.
     """
-    base = (12,)
+    base = (13,)
     return tuple(base[l] if l < len(base) else None for l in range(num_levels))
 
 

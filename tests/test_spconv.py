@@ -10,6 +10,7 @@ Oracle semantics follow SparseConvNet:
 (cf. /root/reference/.../3d_net/scn_unet.py:26-87)
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -222,3 +223,23 @@ def test_build_nbr_dense_map_matches_search(rng):
         a = np.asarray(build_nbr(lvl))
         b = np.asarray(build_nbr(lvl, num_batches=4))
         np.testing.assert_array_equal(a, b)
+
+
+def test_default_slot_caps_cover_flagship_scans():
+    """The default L0 slot cap must not drop hits on realistic scans.
+
+    Seed 1 is the adversarial one: its level-0 max off-center hit count
+    (13) is the largest observed across seeds and sets the default cap.
+    """
+    from mm2d3d_tpu.data.synthetic import make_batch
+    from mm2d3d_tpu.train.batch import build_topology
+
+    batch = jax.tree_util.tree_map(
+        jnp.asarray,
+        make_batch(np.random.RandomState(1), batch_size=8, height=64,
+                   width=64, n_points=8192, num_classes=6, full_scale=4096),
+    )
+    _, hier = jax.jit(lambda b: build_topology(b, 4096, 7))(batch)
+    for lvl in hier.levels:
+        if lvl.slot_overflow is not None:
+            assert int(lvl.slot_overflow) == 0

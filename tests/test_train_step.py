@@ -107,3 +107,27 @@ def test_sharded_train_and_eval_step():
     n_labeled = int(np.sum(np.asarray(src.seg_label) != -100))
     assert int(np.asarray(metrics.cm_2d).sum()) == n_labeled
     assert np.isfinite(np.asarray(elogs["loss_segmentation"]))
+
+
+def test_train_overfits_tiny_batch(batches):
+    """30 repeated steps on one tiny batch must steadily cut the seg losses.
+
+    This drives every gradient path in the system (2D+3D custom VJPs,
+    slot-compacted conv backward, BN stats, both optimizers) and catches
+    wrong-but-finite gradients that single-step smoke tests miss.
+    """
+    src, trg = batches
+    task = _task()
+    state = task.init_state(jax.random.PRNGKey(0), src)
+    step = jax.jit(task.train_step)
+    rng = jax.random.PRNGKey(7)
+    first = None
+    for i in range(30):
+        state, logs = step(state, src, trg, rng)
+        seg = float(logs["train/loss_segmentation"]) + float(
+            logs["train/loss_segmentation_3d"]
+        )
+        if first is None:
+            first = seg
+    assert np.isfinite(seg)
+    assert seg < 0.78 * first, (first, seg)

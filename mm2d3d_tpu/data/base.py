@@ -197,6 +197,7 @@ def collate(samples: List[Dict[str, Any]], n_points: int) -> PointBatch:
         seg_label=stack("seg_label", np.int32),
         point_mask=stack("point_mask"),
         seg_labels_2d=stack("seg_labels_2d", np.int32, required=False),
+        n_dropped=np.array([p["n_dropped"] for p in padded], np.int32),
         pseudo_label_2d=stack("pseudo_label_2d", np.int32, required=False),
         pseudo_label_3d=stack("pseudo_label_3d", np.int32, required=False),
         pseudo_label_ensemble=stack("pseudo_label_ensemble", np.int32, required=False),

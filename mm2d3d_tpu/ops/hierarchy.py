@@ -129,9 +129,13 @@ def build_nbr(grid: VoxelGrid, num_batches: Optional[int] = None) -> jax.Array:
             grid.valid, grid.batch * (fs ** 3) + own_lo, cell_count
         )
         # 2-D (N, 1) layout: row scatters/gathers, not the slow 1-D
-        # scalar-gather path (cf. ops.keys.searchsorted_pairs note)
+        # scalar-gather path (cf. ops.keys.searchsorted_pairs note).
+        # NB: no indices_are_sorted hint — grids from voxelize/dedup_sorted
+        # are (batch, morton)-sorted, but build_nbr is also the generic
+        # reference implementation and must stay correct on any grid; the
+        # scatter is tiny at the levels where the dense map is used.
         dense = jnp.zeros((cell_count + 1, 1), jnp.int32).at[own_flat].set(
-            (rows + 1)[:, None], indices_are_sorted=True, unique_indices=False
+            (rows + 1)[:, None], unique_indices=False
         )
         _, q_lo = K.pack(qc, jnp.broadcast_to(grid.batch, (26, v)), fs)
         q_flat = jnp.where(

@@ -134,12 +134,21 @@ def slot_apply(x_src: jax.Array, tap: jax.Array, weight: jax.Array) -> jax.Array
     h, v, ci = x_src.shape
     co = weight.shape[-1]
     tile = 512 if co <= 32 else 256
-    if not _on_tpu() or v % tile != 0 or h == 0:
+    if not _on_tpu() or h == 0:
         return _apply_xla(x_src, tap, weight)
-    return _apply_pallas(
+    # pad V up to the tile size (empty slots contribute nothing) rather than
+    # silently falling back to the XLA formulation, which materializes
+    # (H, V, 27, Co)-scale products — a large performance cliff for
+    # non-tile-aligned capacities
+    vp = -(-v // tile) * tile
+    if vp != v:
+        x_src = jnp.pad(x_src, ((0, 0), (0, vp - v), (0, 0)))
+        tap = jnp.pad(tap, ((0, 0), (0, vp - v)), constant_values=MISS_TAP)
+    out = _apply_pallas(
         x_src, tap, _wflat(weight).astype(x_src.dtype),
         _band_sum_matrix(co), tile,
     )
+    return out[:v]
 
 
 # ---------------------------------------------------------------------------
@@ -216,8 +225,13 @@ def slot_dw(x_src: jax.Array, tap: jax.Array, g: jax.Array) -> jax.Array:
     h, v, ci = x_src.shape
     co = g.shape[-1]
     tile = 512 if co <= 32 else 256
-    if not _on_tpu() or v % tile != 0 or h == 0:
+    if not _on_tpu() or h == 0:
         return _dw_xla(x_src, tap, g)
+    vp = -(-v // tile) * tile
+    if vp != v:  # tile-pad (cf. slot_apply); padded slots match no tap band
+        x_src = jnp.pad(x_src, ((0, 0), (0, vp - v), (0, 0)))
+        tap = jnp.pad(tap, ((0, 0), (0, vp - v)), constant_values=MISS_TAP)
+        g = jnp.pad(g, ((0, vp - v), (0, 0)))
     rt = _band_sum_matrix(co).T.astype(g.dtype)  # (Co, 27*Co)
     dwflat = _dw_pallas(x_src, tap, g.astype(x_src.dtype), rt, tile)
     return dwflat.reshape(ci, 27, co).transpose(1, 0, 2)

@@ -25,19 +25,54 @@ import numpy as np
 def build_task(cfg: Dict, num_classes: int, axis_name=None):
     import jax.numpy as jnp
 
-    from .train.step import MM2D3DTask
-
+    from .models.registry import get_entry, load_model
     from .train.losses import LossComposer
+    from .train.step import MM2D3DTask
 
     m3 = cfg["models"]["net3d"]["backbone_3d"]
     params = cfg["train"]["params"]
     composer = LossComposer(cfg.get("losses", ["cross_entropy"]))
+    # the train step produces segmentation predictions only; a config that
+    # lists losses for other targets (e.g. depth) would be silently ignored
+    # — fail loudly instead (the reference also only ever calls
+    # Loss("segmentation", ...), train.py:199-211)
+    unknown = composer.targets() - {"segmentation"}
+    if unknown:
+        raise ValueError(
+            f"losses configured for unsupported target(s) {sorted(unknown)}; "
+            "the cross-modal UDA step only produces 'segmentation' predictions"
+        )
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         cfg["train"].get("compute_dtype", "bfloat16")
     ]
-    return MM2D3DTask(
+    # model plugin protocol (reference ModelWrapper, train.py:508-544): each
+    # branch is resolved by name through the registry — built-in or any
+    # importable module exporting `Model`
+    name2d = cfg["models"]["net2d"].get("name", "net2d")
+    name3d = cfg["models"]["net3d"].get("name", "net3d")
+    model2d = load_model(
+        name2d,
+        num_classes=num_classes,
+        frozen_batch_norm=cfg["models"]["net2d"].get("frozen_batch_norm", False),
+        compute_dtype=dtype,
+        **cfg["models"]["net2d"].get("args", {}),
+    )
+    model3d = load_model(
+        name3d,
+        num_classes=num_classes,
+        in_channels=m3.get("in_channels", 3),
+        m=m3["m"],
+        block_reps=m3.get("block_reps", 1),
+        residual_blocks=m3.get("residual_blocks", False),
+        full_scale=m3["full_scale"],
+        num_planes=m3["num_planes"],
+        compute_dtype=dtype,
+        **cfg["models"]["net3d"].get("args", {}),
+    )
+    task = MM2D3DTask(
         num_classes=num_classes,
         class_weights=composer.class_weights("segmentation"),
+        loss_composer=composer,
         lambda_xm_src=params.get("lambda_xm_src", 1.0),
         lambda_xm_trg=params.get("lambda_xm_trg", 0.1),
         full_scale=m3["full_scale"],
@@ -51,7 +86,25 @@ def build_task(cfg: Dict, num_classes: int, axis_name=None):
         optimizer_2d=cfg["models"]["net2d"]["optimizer"],
         optimizer_3d=cfg["models"]["net3d"]["optimizer"],
         axis_name=axis_name,
+        model2d=model2d,
+        model3d=model3d,
     )
+    # model plugin metadata for the run record (reference logs signature +
+    # pip dependencies per wrapped model, train.py:514-521)
+    task.model_info = {}
+    for branch, name in (("net2d", name2d), ("net3d", name3d)):
+        entry = get_entry(name)
+        sig = entry.get("signature")
+        task.model_info[branch] = {
+            "name": name,
+            "dependencies": list(entry.get("dependencies") or []),
+            "signature": None
+            if sig is None
+            else [
+                {k: list(v.shape) for k, v in part.items()} for part in sig
+            ],
+        }
+    return task
 
 
 def build_datamodule(cfg: Dict):
@@ -64,6 +117,7 @@ def build_datamodule(cfg: Dict):
         cfg_source=ds["source"],
         cfg_target=ds["target"],
         batch_size=run["batch_size"],
+        test_batch_size=run.get("test_batch_size"),
         n_points=cfg["train"].get("n_points", 8192),
         num_workers=cfg["train"].get("num_workers", 0),
         augmentations=ds.get("augmentations"),
@@ -133,6 +187,7 @@ def main(argv=None):
 
     dm = build_datamodule(cfg)
     task = build_task(cfg, dm.num_classes, axis_name=axis_name)
+    logger.log_hyperparams({"models": task.model_info})
 
     # optional pretrained RGB backbone import (reference backbones.py:23-27)
     pretrained = cfg["models"]["net2d"].get("pretrained_backbone")
@@ -155,7 +210,9 @@ def main(argv=None):
         limit_val_batches=run_cfg.get("limit_val_batches"),
         fast_dev_run=run_cfg.get("fast_dev_run", False),
         train_log_images_step=cfg["train"]["params"].get("train_log_images_step", 2000),
+        val_log_images_step=cfg["train"]["params"].get("val_log_images_step"),
         class_palette=cfg["train"]["params"].get("class_palette"),
+        strict_eval_points=cfg["train"].get("strict_eval_points", True),
         viz_dir=osp.join(out_dir, "figures"),
         # host topology pipelining pays off on PCIe-attached TPU hosts; over
         # a low-bandwidth tunnel the array transfer dominates - default off.

@@ -77,6 +77,13 @@ def generate(cfg: Dict, ckpt_name: str, out_path: str) -> List[Dict]:
         sm2 = jax.nn.softmax(p2["seg_logit"].reshape(b, n, c), -1)
         sm3 = jax.nn.softmax(p3["seg_logit"].reshape(b, n, c), -1)
         ens = (sm2 + sm3) / 2
+        # slot-table overflow (dropped conv hits) would otherwise be silent
+        # at pseudo-labeling time; surfaced per scan below
+        slot_overflow = sum(
+            lvl.slot_overflow
+            for lvl in topo[1].levels
+            if lvl.slot_overflow is not None
+        ) + jnp.int32(0)
         return {
             "probs_2d": sm2.max(-1),
             "pseudo_label_2d": jnp.argmax(sm2, -1),
@@ -84,6 +91,7 @@ def generate(cfg: Dict, ckpt_name: str, out_path: str) -> List[Dict]:
             "pseudo_label_3d": jnp.argmax(sm3, -1),
             "probs_ensemble": ens.max(-1),
             "pseudo_label_ensemble": jnp.argmax(ens, -1),
+            "slot_overflow": slot_overflow,
         }
 
     records: List[Dict] = []
@@ -94,11 +102,16 @@ def generate(cfg: Dict, ckpt_name: str, out_path: str) -> List[Dict]:
         kept = int(idxs.sum())
         n_pts = _next_pow2(kept)  # bucketed: few distinct compiled shapes
         batch = jax.tree_util.tree_map(jnp.asarray, collate([sample], n_pts))
-        out = jax.tree_util.tree_map(
-            lambda x: np.asarray(x[0][:kept]),
-            forward(state.params2d, state.params3d, state.stats2d,
-                    state.stats3d, batch),
-        )
+        raw = forward(state.params2d, state.params3d, state.stats2d,
+                      state.stats3d, batch)
+        overflow = int(raw.pop("slot_overflow"))
+        if overflow:
+            print(
+                f"WARNING: scan {i}: {overflow} conv hits dropped by the "
+                "slot-table cap — pseudo labels are approximate; raise "
+                "default_slot_caps"
+            )
+        out = jax.tree_util.tree_map(lambda x: np.asarray(x[0][:kept]), raw)
         rec = {}
         for key in ("2d", "3d", "ensemble"):
             probs = np.zeros(full, np.float32)  # dropped points: prob 0 ->

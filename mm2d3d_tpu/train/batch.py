@@ -32,6 +32,9 @@ class PointBatch:
     seg_label: jax.Array  # (B, N) int32, -100 = ignore/padding
     point_mask: jax.Array  # (B, N) bool
     seg_labels_2d: Optional[jax.Array] = None  # (B, H, W) int32
+    n_dropped: Optional[jax.Array] = None  # (B,) int32 points truncated by
+    # the n_points budget (surface it: dropped points are silently missing
+    # from training AND evaluation otherwise)
     pseudo_label_2d: Optional[jax.Array] = None  # (B, N) int32
     pseudo_label_3d: Optional[jax.Array] = None  # (B, N) int32
     pseudo_label_ensemble: Optional[jax.Array] = None  # (B, N) int32
@@ -92,16 +95,26 @@ def default_slot_caps(num_levels: int) -> Tuple[Optional[int], ...]:
     """Per-level slot-table capacities for the compacted submanifold conv.
 
     Off-center hit counts on LiDAR scans are small (level 0: mean ~2.4,
-    p99.9 <= 10, max 13 across seeds; see PERFORMANCE.md), so level 0 — the
-    biggest, most gather-dominated level, with the SMALLEST hit counts —
-    gets a slot table sized just above the observed maximum.  Deeper levels
-    keep the dense path: their hit counts (hence H) grow while V shrinks,
-    and the slot kernel's VPU-bound tap dispatch (~H*27*Co*V selects)
-    overtakes the gather rows it saves (measured: slots win 3.9 -> 2.85 ms
-    per conv at L0 but lose at L1+).  `GridLevel.slot_overflow` (logged as
-    train/nbr_slot_overflow) monitors that the cap does not bind.
+    p99.9 <= 10, max 13 across synthetic seed sweeps; see PERFORMANCE.md),
+    so level 0 — the biggest, most gather-dominated level, with the
+    SMALLEST hit counts — gets a slot table sized with headroom over that
+    observed maximum (16 vs 13: real scans may exceed the synthetic
+    calibration, and the cost of 3 extra slots is ~1% end to end).
+    Deeper levels keep the dense path: their hit counts (hence H) grow
+    while V shrinks, and the slot kernel's VPU-bound tap dispatch
+    (~H*27*Co*V selects) overtakes the gather rows it saves (measured:
+    slots win at L0 but lose at L1+).
+
+    `GridLevel.slot_overflow` (logged as train/nbr_slot_overflow and in
+    eval logs) monitors that the cap does not bind.  IMPORTANT: a non-zero
+    overflow invalidates GRADIENTS, not just forward exactness — the
+    forward drops hits per the destination voxel's table while the
+    symmetry-based adjoint (`ops.spconv._subm_slots_bwd`) drops per the
+    source voxel's, so the computed gradient no longer matches the computed
+    forward.  Treat any sustained overflow as a config error and raise the
+    cap.
     """
-    base = (13,)
+    base = (16,)
     return tuple(base[l] if l < len(base) else None for l in range(num_levels))
 
 

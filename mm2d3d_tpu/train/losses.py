@@ -101,6 +101,10 @@ class LossComposer:
             if e["name"] == name and e["target"] == target:
                 e["args"].update(kwargs)
 
+    def targets(self):
+        """The set of loss targets this composer serves."""
+        return {e["target"] for e in self._entries}
+
     def class_weights(self, target: str = "segmentation"):
         for e in self._entries:
             if e["target"] == target and "weight" in e["args"]:

@@ -69,6 +69,8 @@ class MM2D3DTask:
         self,
         num_classes: int,
         class_weights=None,
+        loss_composer=None,  # train.losses.LossComposer; routes the config's
+        # `losses:` list end-to-end (composition + weights honored)
         lambda_xm_src: float = 1.0,
         lambda_xm_trg: float = 0.1,
         full_scale: int = 4096,
@@ -89,6 +91,7 @@ class MM2D3DTask:
         self.class_weights = (
             None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
         )
+        self.loss_composer = loss_composer
         self.lambda_xm_src = lambda_xm_src
         self.lambda_xm_trg = lambda_xm_trg
         self.full_scale = full_scale
@@ -181,6 +184,16 @@ class MM2D3DTask:
         preds, point_feats, aux = self.model3d.apply(variables, feats, grid, hier, False)
         return preds, point_feats, aux, stats
 
+    # -- losses --------------------------------------------------------------
+
+    def _seg_loss(self, logits, labels, mask):
+        """Segmentation loss: the config's composed `losses:` list when a
+        LossComposer is attached (reference lib/losses.py:81-153), else
+        plain weighted CE."""
+        if self.loss_composer is not None:
+            return self.loss_composer("segmentation", logits, labels, mask)
+        return weighted_cross_entropy(logits, labels, mask, self.class_weights)
+
     # -- train ---------------------------------------------------------------
 
     def _pmean(self, x):
@@ -216,11 +229,9 @@ class MM2D3DTask:
                 params3d, stats3d, src, *topo_src, True
             )
             flat2s = p2s["seg_logit"].reshape(-1, self.num_classes)
-            seg_loss_src_2d = weighted_cross_entropy(
-                flat2s, labels_src, mask_src, self.class_weights
-            )
-            seg_loss_src_3d = weighted_cross_entropy(
-                p3s["seg_logit"], labels_src, mask_src, self.class_weights
+            seg_loss_src_2d = self._seg_loss(flat2s, labels_src, mask_src)
+            seg_loss_src_3d = self._seg_loss(
+                p3s["seg_logit"], labels_src, mask_src
             )
             xm_src_2d = kl_consistency(
                 a2s["seg_logit_avg"].reshape(-1, self.num_classes),
@@ -283,6 +294,12 @@ class MM2D3DTask:
             for lvl in topo[1].levels
             if lvl.slot_overflow is not None
         ) + jnp.float32(0.0)
+        # in-bounds points truncated by the n_points budget (data.base
+        # pad_sample): dropped points silently vanish from the loss
+        if src.n_dropped is not None:
+            logs["train/points_dropped"] = (
+                jnp.sum(src.n_dropped) + jnp.sum(trg.n_dropped)
+            ).astype(jnp.float32)
         grads = self._pmean(grads)
         stats2d = self._pmean(stats2d)
         stats3d = self._pmean(stats3d)
@@ -319,8 +336,8 @@ class MM2D3DTask:
 
         flat2 = p2["seg_logit"].reshape(-1, self.num_classes).astype(jnp.float32)
         flat3 = p3["seg_logit"].astype(jnp.float32)
-        loss_2d = weighted_cross_entropy(flat2, labels, mask, self.class_weights)
-        loss_3d = weighted_cross_entropy(flat3, labels, mask, self.class_weights)
+        loss_2d = self._seg_loss(flat2, labels, mask)
+        loss_3d = self._seg_loss(flat3, labels, mask)
 
         sm2 = jax.nn.softmax(flat2, axis=-1)
         sm3 = jax.nn.softmax(flat3, axis=-1)
@@ -338,6 +355,13 @@ class MM2D3DTask:
             ),
         )
         logs = {"loss_segmentation": loss_2d, "loss_segmentation_3d": loss_3d}
+        # hits dropped by the slot-compacted conv tables: at inference this
+        # would otherwise be completely silent (train_step logs it too)
+        logs["nbr_slot_overflow"] = sum(
+            lvl.slot_overflow.astype(jnp.float32)
+            for lvl in topo[1].levels
+            if lvl.slot_overflow is not None
+        ) + jnp.float32(0.0)
         return new_metrics, logs
 
     # -- qualitative visualization forward ------------------------------------

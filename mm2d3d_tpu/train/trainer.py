@@ -86,8 +86,10 @@ class Trainer:
         limit_val_batches: Optional[int] = None,
         fast_dev_run: bool = False,
         train_log_images_step: Optional[int] = None,
+        val_log_images_step: Optional[int] = None,
         class_palette=None,
         viz_dir: Optional[str] = None,
+        strict_eval_points: bool = False,
         host_topology: bool = False,
         mesh=None,  # jax.sharding.Mesh for data-parallel training
     ):
@@ -109,8 +111,18 @@ class Trainer:
         if fast_dev_run:
             self.max_epochs = 1
         self.train_log_images_step = train_log_images_step
+        self.val_log_images_step = val_log_images_step
+        if isinstance(class_palette, str):
+            from ..utils.visualize import PALETTES
+
+            class_palette = PALETTES[class_palette]
         self.class_palette = class_palette
         self.viz_dir = viz_dir
+        # point-budget truncation policy: scans beyond n_points are cut by
+        # pad_sample; during eval that silently changes the metric (the
+        # reference evaluates every in-bounds point), so surface it — and in
+        # strict mode refuse to report a metric computed on truncated scans
+        self.strict_eval_points = strict_eval_points
         if host_topology:
             from ..native import available
 
@@ -270,16 +282,36 @@ class Trainer:
 
             metrics = replicate(metrics, self.mesh)
         losses = []
+        points_dropped = 0
         for i, batch in enumerate(loader):
+            if batch.n_dropped is not None:
+                points_dropped += int(np.sum(batch.n_dropped))
+            batch_dev = self._to_device(batch)
+            if (
+                self.val_log_images_step
+                and i % self.val_log_images_step == 0
+            ):
+                # qualitative val-time figures every val_log_images_step
+                # batches (reference vkitti train.py:341-356)
+                self._log_images(batch_dev, stage.replace("/", "_"))
             eval_fn = self._sharded_eval or self.task.jit_eval_step
-            metrics, logs = eval_fn(
-                self.state, self._to_device(batch), metrics
-            )
+            metrics, logs = eval_fn(self.state, batch_dev, metrics)
             losses.append({k: float(v) for k, v in logs.items()})
             if self.limit_val_batches and i + 1 >= self.limit_val_batches:
                 break
 
-        out = {}
+        if points_dropped:
+            msg = (
+                f"{stage}: {points_dropped} in-bounds points were truncated "
+                f"by the n_points={loader.n_points} budget — the reported "
+                "IoU misses them (the reference evaluates every point). "
+                "Raise train.n_points to cover the dataset."
+            )
+            if self.strict_eval_points:
+                raise RuntimeError(msg)
+            print(f"WARNING: {msg}", flush=True)
+
+        out = {f"{stage}/points_dropped": float(points_dropped)}
         for head, cm in (
             ("", metrics.cm_2d),
             ("_3d", metrics.cm_3d),

@@ -8,6 +8,8 @@ import pytest
 
 from mm2d3d_tpu.run import main
 
+pytestmark = pytest.mark.slow  # full CLI runs: compile-dominated
+
 H, W = 90, 160
 
 
@@ -73,6 +75,9 @@ train:
   num_workers: 0
   params:
     class_names: [vehicle, driveable_surface, sidewalk, terrain, manmade, vegetation]
+    class_palette: nuscenes
+    val_log_images_step: 1
+    train_log_images_step: null
     lambda_xm_src: 1.0
     lambda_xm_trg: 0.1
 """)
@@ -111,6 +116,25 @@ def test_cli_fast_dev_run(workspace):
     assert (out / "ckpts" / "last").exists()
     assert (out / "metrics.jsonl").exists()
     assert (out / "code_snapshot" / "mm2d3d_tpu").exists()
+    # val-time qualitative figures (val_log_images_step, reference vkitti
+    # train.py:341-356)
+    figs = list((out / "figures").glob("val_target_*.png"))
+    assert figs, "val_log_images_step produced no val figures"
+
+
+def test_test_batch_size_plumbing(workspace):
+    """run.test_batch_size reaches the val/test loaders while the train
+    loaders keep run.batch_size (reference vkitti train-16/test-8 split)."""
+    from mm2d3d_tpu.run import build_datamodule
+    from mm2d3d_tpu.utils.config import load_config
+
+    cfg = load_config(
+        str(workspace / "configs" / "config.yaml"), ["run.test_batch_size=1"]
+    )
+    dm = build_datamodule(cfg)
+    assert dm.source_train.batch_size == 2
+    assert dm.target_val.batch_size == 1
+    assert dm.target_test.batch_size == 1
 
 
 def test_pseudo_label_generation_round_trip(workspace):

@@ -14,6 +14,9 @@ FULL_SCALE = 256
 TINY = dict(height=32, width=48, n_points=128, num_classes=6, full_scale=FULL_SCALE)
 
 
+pytestmark = pytest.mark.slow  # trainer fit/resume graphs: compile-dominated
+
+
 class SyntheticLoader:
     """Duck-typed Loader over synthetic batches."""
 

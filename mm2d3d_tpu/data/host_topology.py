@@ -61,6 +61,31 @@ def _build_slots_np(nbr: np.ndarray, num_slots: int):
     return src, tap, dropped
 
 
+def _build_slots_split_np(nbr: np.ndarray, h_lo: int, h_max: int, vh_cap: int):
+    """Numpy mirror of `ops.hierarchy.build_slots_split`."""
+    k, v = nbr.shape
+    src, tap, _ = _build_slots_np(nbr, h_max)  # (h_max, V); exact cnt below
+    hit = nbr < v
+    hit[13] = False
+    cnt = hit.sum(0)
+
+    src1, tap1 = src[:h_lo], tap[:h_lo]
+    heavy = cnt > h_lo
+    heavy_rows = np.nonzero(heavy)[0]
+    idx_hi = np.full(vh_cap, v, np.int32)
+    take = heavy_rows[:vh_cap]
+    idx_hi[: len(take)] = take
+    src2 = np.full((h_max - h_lo, vh_cap), v, np.int32)
+    tap2 = np.full((h_max - h_lo, vh_cap), 27, np.int32)
+    src2[:, : len(take)] = src[h_lo:, take]
+    tap2[:, : len(take)] = tap[h_lo:, take]
+    dropped = np.maximum(cnt - h_max, 0).sum()
+    if len(heavy_rows) > vh_cap:
+        extra = heavy_rows[vh_cap:]
+        dropped += (np.minimum(cnt[extra], h_max) - h_lo).sum()
+    return src1, tap1, idx_hi, src2, tap2, np.int32(dropped)
+
+
 def build_topology_host(
     coords: np.ndarray,  # (P, 3) int
     bidx: np.ndarray,  # (P,) int
@@ -78,13 +103,20 @@ def build_topology_host(
     if slot_caps == "default":
         from ..train.batch import default_slot_caps
 
-        slot_caps = default_slot_caps(num_levels)
+        slot_caps = default_slot_caps(num_levels, tuple(capacities))
 
-    def _slots_for(level_idx, nbr):
+    def _slots_for(level_idx, nbr, level_cap):
         h = (slot_caps[level_idx]
              if slot_caps is not None and level_idx < len(slot_caps) else None)
         if not h:
             return {}
+        if isinstance(h, tuple):
+            h_lo, h_max, vh_cap = h
+            s1, t1, idx, s2, t2, dropped = _build_slots_split_np(
+                nbr, h_lo, h_max, min(vh_cap, level_cap)
+            )
+            return dict(slot_src=s1, slot_tap=t1, slot_overflow=dropped,
+                        slot_idx=idx, slot_src2=s2, slot_tap2=t2)
         src, tap, dropped = _build_slots_np(nbr, h)
         return dict(slot_src=src, slot_tap=tap, slot_overflow=dropped)
 
@@ -114,7 +146,7 @@ def build_topology_host(
         GridLevel(
             key_hi=hi, key_lo=lo, coords=vc, batch=vb, valid=row_valid,
             num_voxels=np.int32(nvox), nbr=nbr, full_scale=full_scale,
-            **_slots_for(0, nbr),
+            **_slots_for(0, nbr, cap0),
         )
     )
 
@@ -137,7 +169,7 @@ def build_topology_host(
             GridLevel(
                 key_hi=hi, key_lo=lo, coords=cc, batch=cb, valid=rv,
                 num_voxels=np.int32(nv), nbr=nbr, full_scale=fs,
-                **_slots_for(l, nbr),
+                **_slots_for(l, nbr, cap),
             )
         )
         transitions.append(

@@ -53,13 +53,21 @@ class GridLevel:
     # Tap-major (V minor) so per-tap rows are dense vector lanes — both the
     # conv gathers and the octree propagation read it this way.
     full_scale: int = struct.field(pytree_node=False)
-    # Slot-compacted form of `nbr` (see `build_slots`): per voxel, the
-    # first `H` off-center hits as (source row, tap id).  Consumed by the
-    # slot-compacted submanifold conv (`ops.spconv` / `ops.pallas.slotconv`);
-    # None = use the dense 27-tap path.
+    # Slot-compacted form of `nbr` (see `build_slots` / `build_slots_split`):
+    # per voxel, the first `H` off-center hits as (source row, tap id).
+    # Consumed by the slot-compacted submanifold conv (`ops.spconv` /
+    # `ops.pallas.slotconv`); None = use the dense 27-tap path.
     slot_src: Optional[jax.Array] = None  # (H, V) int32 in [0, V]; V = empty
     slot_tap: Optional[jax.Array] = None  # (H, V) int32 in [0, 27); 27 = empty
     slot_overflow: Optional[jax.Array] = None  # () int32 dropped-hit count
+    # Split-phase extension (`build_slots_split`): the few voxels with more
+    # than H hits are compacted into `slot_idx` and get a second slot table
+    # — the common case gathers only H rows/voxel while heavy voxels stay
+    # exact (hits are only dropped past h_max / the slot_idx capacity, both
+    # monitored via slot_overflow).
+    slot_idx: Optional[jax.Array] = None  # (Vh,) int32 in [0, V]; V = pad
+    slot_src2: Optional[jax.Array] = None  # (H2, Vh) int32 in [0, V]
+    slot_tap2: Optional[jax.Array] = None  # (H2, Vh) int32
 
     @property
     def capacity(self) -> int:
@@ -195,6 +203,78 @@ def build_slots(nbr: jax.Array, num_slots: int):
         cnt = cnt + hit.astype(jnp.int32)
     dropped = jnp.sum(jnp.maximum(cnt - h_caps, 0))
     return jnp.stack(src), jnp.stack(tap), dropped
+
+
+def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
+    """Split-phase slot compaction: a dense `h_lo`-slot table for ALL voxels
+    plus a compacted overflow table for the few voxels with more hits.
+
+    LiDAR hit counts are heavily skewed (level 0: mean ~2.4, p99 ~7, tail to
+    ~16+), so a single slot cap either wastes gather rows on the common case
+    or drops tail hits (which invalidates gradients, cf. `train.batch
+    .default_slot_caps`).  The split form gathers `h_lo` rows/voxel in phase
+    one and routes voxels with more hits through a `vh_cap`-row compacted
+    phase-two table, so the common case is cheap AND the tail stays exact up
+    to `h_max` total hits per voxel.
+
+    Returns: (src1 (h_lo, V), tap1 (h_lo, V),
+              idx_hi (vh_cap,) int32 — heavy-voxel rows, V = pad,
+              src2 (h_max - h_lo, vh_cap), tap2 (same),
+              dropped () int32 — hits beyond h_max or beyond vh_cap).
+    """
+    v = nbr.shape[1]
+    center = _offset_index(0, 0, 0)
+
+    # phase 1: the h_lo-slot select chain over all V columns (same structure
+    # as build_slots, but only h_lo deep — the tail is handled compacted)
+    src1 = [jnp.full((v,), v, jnp.int32) for _ in range(h_lo)]
+    tap1 = [jnp.full((v,), 27, jnp.int32) for _ in range(h_lo)]
+    cnt = jnp.zeros((v,), jnp.int32)
+    for k in range(27):
+        if k == center:
+            continue
+        hit = nbr[k] < v
+        for h in range(h_lo):
+            sel = hit & (cnt == h)
+            src1[h] = jnp.where(sel, nbr[k], src1[h])
+            tap1[h] = jnp.where(sel, k, tap1[h])
+        cnt = cnt + hit.astype(jnp.int32)
+
+    # phase 2: compact the heavy columns FIRST (one row gather of nbr^T),
+    # then run the deep select chain on the small (Vh,)-wide table — the
+    # deep chain over all V columns is ~10x the phase-1 cost for <2% of
+    # voxels.
+    heavy = cnt > h_lo
+    idx_hi = jnp.nonzero(heavy, size=vh_cap, fill_value=v)[0].astype(jnp.int32)
+    nbr_rows = jnp.concatenate(
+        [nbr.T, jnp.full((1, 27), v, jnp.int32)], 0
+    )  # (V + 1, 27)
+    nbr_hi = jnp.take(nbr_rows, idx_hi, axis=0).T  # (27, Vh)
+
+    h2 = h_max - h_lo
+    src2 = [jnp.full((vh_cap,), v, jnp.int32) for _ in range(h2)]
+    tap2 = [jnp.full((vh_cap,), 27, jnp.int32) for _ in range(h2)]
+    cnt_hi = jnp.zeros((vh_cap,), jnp.int32)
+    for k in range(27):
+        if k == center:
+            continue
+        hit = nbr_hi[k] < v
+        for h in range(h2):
+            sel = hit & (cnt_hi == h_lo + h)
+            src2[h] = jnp.where(sel, nbr_hi[k], src2[h])
+            tap2[h] = jnp.where(sel, k, tap2[h])
+        cnt_hi = cnt_hi + hit.astype(jnp.int32)
+
+    over_tail = jnp.sum(jnp.maximum(cnt - h_max, 0))
+    # heavy voxels beyond the compaction capacity lose their phase-2 hits
+    uncompacted = jnp.where(
+        heavy & (jnp.cumsum(heavy.astype(jnp.int32)) > vh_cap),
+        jnp.minimum(cnt, h_max) - h_lo,
+        0,
+    )
+    dropped = over_tail + jnp.sum(uncompacted)
+    return (jnp.stack(src1), jnp.stack(tap1), idx_hi, jnp.stack(src2),
+            jnp.stack(tap2), dropped)
 
 
 def propagate_nbr(
@@ -379,7 +459,16 @@ def build_hierarchy(
     for l, (g, n) in enumerate(zip(grids, nbrs)):
         lev = _level_from_grid(g, nbr=n)
         h = slot_caps[l] if slot_caps is not None and l < len(slot_caps) else None
-        if h:
+        if isinstance(h, tuple):  # split-phase spec (h_lo, h_max, vh_cap)
+            h_lo, h_max, vh_cap = h
+            s1, t1, idx, s2, t2, dropped = build_slots_split(
+                n, h_lo, h_max, min(vh_cap, g.capacity)
+            )
+            lev = lev.replace(
+                slot_src=s1, slot_tap=t1, slot_overflow=dropped,
+                slot_idx=idx, slot_src2=s2, slot_tap2=t2,
+            )
+        elif h:
             src, tap, dropped = build_slots(n, h)
             lev = lev.replace(slot_src=src, slot_tap=tap, slot_overflow=dropped)
         levels.append(lev)

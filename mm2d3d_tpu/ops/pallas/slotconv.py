@@ -40,22 +40,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MISS_TAP = 27  # slot_tap value for empty slots (matches no tap column)
+MISS_TAP = 27  # empty-slot tap value for 27-tap tables (matches no tap
+# column; K-tap tables use K as the miss value — col_tap is always < K)
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _band_sum_matrix(cout: int, dtype=jnp.float32) -> jax.Array:
-    """R (27*Co, Co): sums the 27 Co-wide column bands."""
+def _band_sum_matrix(cout: int, k_taps: int = 27, dtype=jnp.float32) -> jax.Array:
+    """R (K*Co, Co): sums the K Co-wide column bands."""
     eye = np.eye(cout, dtype=np.float32)
-    r = np.tile(eye, (27, 1))
+    r = np.tile(eye, (k_taps, 1))
     return jnp.asarray(r, dtype)
 
 
 def _wflat(weight: jax.Array) -> jax.Array:
-    """(27, Ci, Co) -> (Ci, 27*Co), tap-major column bands."""
+    """(K, Ci, Co) -> (Ci, K*Co), tap-major column bands."""
     k, ci, co = weight.shape
     return weight.transpose(1, 0, 2).reshape(ci, k * co)
 
@@ -85,7 +86,7 @@ def _apply_kernel(x_ref, tap_ref, w_ref, r_ref, o_ref, *, n_slots: int):
 @functools.partial(jax.jit, static_argnames=("tile",))
 def _apply_pallas(x_src, tap, wflat, r, tile):
     h, v, ci = x_src.shape
-    co = r.shape[1]
+    n_cols, co = r.shape
     grid = (v // tile,)
     return pl.pallas_call(
         functools.partial(_apply_kernel, n_slots=h),
@@ -95,9 +96,9 @@ def _apply_pallas(x_src, tap, wflat, r, tile):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ci, 27 * co), lambda i: (0, 0),
+            pl.BlockSpec((ci, n_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((27 * co, co), lambda i: (0, 0),
+            pl.BlockSpec((n_cols, co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, co), lambda i: (i, 0),
@@ -110,8 +111,8 @@ def _apply_xla(x_src, tap, weight):
     """Reference/CPU formulation of the slot application."""
     prec = (jax.lax.Precision.HIGHEST if x_src.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    # (H, V, 27) one-hot of each slot's tap; empty slots (tap=27) hit nothing
-    onehot = jax.nn.one_hot(tap, 27, dtype=jnp.float32)
+    # (H, V, K) one-hot of each slot's tap; empty slots (tap=K) hit nothing
+    onehot = jax.nn.one_hot(tap, weight.shape[0], dtype=jnp.float32)
     # products for every tap of every slot row, then select
     taps = jax.lax.dot_general(
         x_src, weight,
@@ -127,9 +128,10 @@ def slot_apply(x_src: jax.Array, tap: jax.Array, weight: jax.Array) -> jax.Array
 
     Args:
       x_src: (H, V, Ci) gathered slot features (empty slots = zero rows).
-      tap: (H, V) int32 tap ids in [0, 27); 27 marks an empty slot.
-      weight: (27, Ci, Co) tap matrices (w[13] unused: center handled by
-        the caller without a gather).
+      tap: (H, V) int32 tap ids in [0, K); K marks an empty slot.
+      weight: (K, Ci, Co) tap matrices (K = 27 for submanifold 3^3 — w[13]
+        unused there, the center is handled by the caller without a gather —
+        or 8 for the strided down conv's child taps).
     """
     h, v, ci = x_src.shape
     co = weight.shape[-1]
@@ -143,10 +145,12 @@ def slot_apply(x_src: jax.Array, tap: jax.Array, weight: jax.Array) -> jax.Array
     vp = -(-v // tile) * tile
     if vp != v:
         x_src = jnp.pad(x_src, ((0, 0), (0, vp - v), (0, 0)))
-        tap = jnp.pad(tap, ((0, 0), (0, vp - v)), constant_values=MISS_TAP)
+        tap = jnp.pad(
+            tap, ((0, 0), (0, vp - v)), constant_values=weight.shape[0]
+        )
     out = _apply_pallas(
         x_src, tap, _wflat(weight).astype(x_src.dtype),
-        _band_sum_matrix(co), tile,
+        _band_sum_matrix(co, weight.shape[0]), tile,
     )
     return out[:v]
 
@@ -189,7 +193,7 @@ def _dw_kernel(x_ref, tap_ref, g_ref, rt_ref, o_ref, *, n_slots: int):
 @functools.partial(jax.jit, static_argnames=("tile",))
 def _dw_pallas(x_src, tap, g, rt, tile):
     h, v, ci = x_src.shape
-    co = g.shape[-1]
+    co, n_cols = rt.shape
     grid = (v // tile,)
     return pl.pallas_call(
         functools.partial(_dw_kernel, n_slots=h),
@@ -201,37 +205,39 @@ def _dw_pallas(x_src, tap, g, rt, tile):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, co), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, 27 * co), lambda i: (0, 0),
+            pl.BlockSpec((co, n_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ci, 27 * co), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((ci, n_cols), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ci, 27 * co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ci, n_cols), jnp.float32),
     )(x_src, tap, g, rt)
 
 
-def _dw_xla(x_src, tap, g):
+def _dw_xla(x_src, tap, g, k_taps):
     prec = (jax.lax.Precision.HIGHEST if x_src.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    onehot = jax.nn.one_hot(tap, 27, dtype=jnp.float32)  # (H, V, 27)
+    onehot = jax.nn.one_hot(tap, k_taps, dtype=jnp.float32)  # (H, V, K)
     return jnp.einsum(
         "hvk,hvc,vd->kcd", onehot, x_src.astype(jnp.float32),
         g.astype(jnp.float32), precision=prec,
-    )  # (27, Ci, Co)
+    )  # (K, Ci, Co)
 
 
-def slot_dw(x_src: jax.Array, tap: jax.Array, g: jax.Array) -> jax.Array:
-    """Weight gradient of `slot_apply` -> (27, Ci, Co) fp32 (k=13 row is 0)."""
+def slot_dw(x_src: jax.Array, tap: jax.Array, g: jax.Array,
+            k_taps: int = 27) -> jax.Array:
+    """Weight gradient of `slot_apply` -> (K, Ci, Co) fp32 (the center row
+    is 0 for submanifold tables; the caller adds it gather-free)."""
     h, v, ci = x_src.shape
     co = g.shape[-1]
     tile = 512 if co <= 32 else 256
     if not _on_tpu() or h == 0:
-        return _dw_xla(x_src, tap, g)
+        return _dw_xla(x_src, tap, g, k_taps)
     vp = -(-v // tile) * tile
     if vp != v:  # tile-pad (cf. slot_apply); padded slots match no tap band
         x_src = jnp.pad(x_src, ((0, 0), (0, vp - v), (0, 0)))
-        tap = jnp.pad(tap, ((0, 0), (0, vp - v)), constant_values=MISS_TAP)
+        tap = jnp.pad(tap, ((0, 0), (0, vp - v)), constant_values=k_taps)
         g = jnp.pad(g, ((0, vp - v), (0, 0)))
-    rt = _band_sum_matrix(co).T.astype(g.dtype)  # (Co, 27*Co)
+    rt = _band_sum_matrix(co, k_taps).T.astype(g.dtype)  # (Co, K*Co)
     dwflat = _dw_pallas(x_src, tap, g.astype(x_src.dtype), rt, tile)
-    return dwflat.reshape(ci, 27, co).transpose(1, 0, 2)
+    return dwflat.reshape(ci, k_taps, co).transpose(1, 0, 2)

@@ -194,6 +194,73 @@ def _subm_slots_bwd(res, g):
 _subm_apply_slots.defvjp(_subm_slots_fwd, _subm_slots_bwd)
 
 
+# --- split-phase variant (hierarchy.build_slots_split): a short slot table
+# for all voxels plus a compacted overflow table for the few heavy voxels.
+# Exact up to h_max hits/voxel; phase-2 output rows are scatter-added at the
+# compacted row indices (a tiny scatter: Vh ~ V/16 rows).
+
+def _scatter_add_rows(out, idx, rows):
+    v = out.shape[0]
+    padded = jnp.concatenate([out, jnp.zeros((1, out.shape[1]), out.dtype)], 0)
+    return padded.at[jnp.minimum(idx, v)].add(rows)[:v]
+
+
+def _slots2_raw(feats, weight, s1, t1, idx, s2, t2, valid):
+    from .pallas.slotconv import slot_apply
+
+    padded = _pad_zero_row(feats)
+    x1 = jnp.take(padded, s1, axis=0)  # (h_lo, V, Ci)
+    out = slot_apply(x1, t1, weight) + _slot_center(feats, weight[13], valid)
+    x2 = jnp.take(padded, s2, axis=0)  # (H2, Vh, Ci)
+    o2 = slot_apply(x2, t2, weight)  # (Vh, Co)
+    return _scatter_add_rows(out, idx, o2), x1, x2
+
+
+@jax.custom_vjp
+def _subm_apply_slots2(feats, weight, s1, t1, idx, s2, t2, valid):
+    return _slots2_raw(feats, weight, s1, t1, idx, s2, t2, valid)[0]
+
+
+def _subm_slots2_fwd(feats, weight, s1, t1, idx, s2, t2, valid):
+    out, x1, x2 = _slots2_raw(feats, weight, s1, t1, idx, s2, t2, valid)
+    return out, (x1, x2, feats, weight, s1, t1, idx, s2, t2, valid)
+
+
+def _subm_slots2_bwd(res, g):
+    from .pallas.slotconv import slot_apply, slot_dw
+
+    x1, x2, feats, weight, s1, t1, idx, s2, t2, valid = res
+    g = g.astype(feats.dtype)
+    w_flip = weight[::-1].swapaxes(1, 2)
+    g_pad = _pad_zero_row(g)
+    # adjoint conv through the same split tables (cf. _subm_slots_bwd)
+    g1 = jnp.take(g_pad, s1, axis=0)
+    d_feats = slot_apply(g1, t1, w_flip) + _slot_center(g, weight[13].T, valid)
+    g2 = jnp.take(g_pad, s2, axis=0)
+    d2 = slot_apply(g2, t2, w_flip)  # (Vh, Ci)
+    d_feats = _scatter_add_rows(d_feats, idx, d2)
+
+    g_hi = jnp.take(g_pad, idx, axis=0)  # (Vh, Co)
+    d_weight = slot_dw(x1, t1, g) + slot_dw(x2, t2, g_hi)
+    ctr = jnp.where(valid[:, None], feats, jnp.zeros_like(feats))
+    dw13 = jax.lax.dot_general(
+        ctr, g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(feats.dtype),
+    )
+    d_weight = d_weight.at[13].add(dw13)
+    return (
+        d_feats.astype(feats.dtype),
+        d_weight.astype(weight.dtype),
+        _int_zero(s1), _int_zero(t1), _int_zero(idx),
+        _int_zero(s2), _int_zero(t2), _int_zero(valid),
+    )
+
+
+_subm_apply_slots2.defvjp(_subm_slots2_fwd, _subm_slots2_bwd)
+
+
 def subm_conv3(
     feats: jax.Array,
     level: GridLevel,
@@ -210,6 +277,12 @@ def subm_conv3(
       weight: (27, Cin, Cout), tap order = `hierarchy.OFFSETS_27`.
     Returns: (V, Cout) fp32.
     """
+    if level.slot_src2 is not None:
+        return _subm_apply_slots2(
+            feats.astype(compute_dtype), weight.astype(compute_dtype),
+            level.slot_src, level.slot_tap, level.slot_idx,
+            level.slot_src2, level.slot_tap2, level.valid,
+        )
     if level.slot_src is not None:
         return _subm_apply_slots(
             feats.astype(compute_dtype), weight.astype(compute_dtype),

@@ -106,15 +106,24 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     v_cap = capacity if capacity is not None else p
     valid_s = hs != K.INVALID
 
-    prev = jnp.maximum(jnp.arange(p) - 1, 0)
-    is_new = (jnp.arange(p) == 0) | (hs != hs[prev]) | (ls != ls[prev])
-    is_new &= valid_s
+    # segment starts via slice-shift (a gather-by-index here costs ~1 ms of
+    # descriptor-bound rows at the flagship size)
+    prev_hi = jnp.concatenate([hs[:1] - 1, hs[:-1]])
+    prev_lo = jnp.concatenate([ls[:1] - 1, ls[:-1]])
+    is_new = ((hs != prev_hi) | (ls != prev_lo)) & valid_s
 
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     num_voxels = jnp.sum(is_new.astype(jnp.int32))
+    num_valid = jnp.sum(valid_s.astype(jnp.int32))
     # invalid points and overflow voxels -> dump row v_cap
     seg = jnp.where(valid_s & (seg < v_cap) & (seg >= 0), seg, v_cap)
 
+    # NB: a scatter-min("first row per segment") + packed-row-gather
+    # formulation is ~27% faster when the topology is jitted ALONE, but
+    # ~10 ms/step SLOWER inside the fused forward: XLA fuses these
+    # segment ops with the surrounding graph, the scatter+gather pair it
+    # cannot (same finding as the round-1 wide-row-scatter experiment;
+    # in-graph timings are what count).
     nseg = v_cap + 1
     key_hi = jax.ops.segment_min(
         hs, seg, num_segments=nseg, indices_are_sorted=True
@@ -132,18 +141,19 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
 
     if with_counts:
         counts = jax.ops.segment_sum(
-            jnp.ones((p,), jnp.int32), seg, num_segments=v_cap + 1,
+            jnp.ones((p,), jnp.int32), seg, num_segments=nseg,
             indices_are_sorted=True,
         )[:v_cap]
     else:
         # Points-per-voxel is only consumed by mode-4 pooling at level 0;
-        # grid-hierarchy levels skip the segment_sum scatter.
+        # grid-hierarchy levels skip it.
         counts = jnp.zeros((v_cap,), jnp.int32)
+    del num_valid
 
     if perm is None:
         p2v = seg  # rows were already in table order
     else:
-        p2v = jnp.zeros((p,), jnp.int32).at[perm].set(seg)
+        p2v = jnp.zeros((p, 1), jnp.int32).at[perm].set(seg[:, None])[:, 0]
 
     # Pin the table: its fields are read by many downstream consumers
     # (neighbor propagation, transitions, convs); without the barrier XLA's

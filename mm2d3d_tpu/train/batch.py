@@ -91,31 +91,48 @@ def default_capacities(
     return tuple(caps)
 
 
-def default_slot_caps(num_levels: int) -> Tuple[Optional[int], ...]:
-    """Per-level slot-table capacities for the compacted submanifold conv.
+def default_slot_caps(
+    num_levels: int, capacities: Optional[Tuple[int, ...]] = None
+) -> Tuple[Optional[Tuple[int, int, int]], ...]:
+    """Per-level slot specs for the compacted submanifold conv.
 
-    Off-center hit counts on LiDAR scans are small (level 0: mean ~2.4,
-    p99.9 <= 10, max 13 across synthetic seed sweeps; see PERFORMANCE.md),
-    so level 0 — the biggest, most gather-dominated level, with the
-    SMALLEST hit counts — gets a slot table sized with headroom over that
-    observed maximum (16 vs 13: real scans may exceed the synthetic
-    calibration, and the cost of 3 extra slots is ~1% end to end).
-    Deeper levels keep the dense path: their hit counts (hence H) grow
-    while V shrinks, and the slot kernel's VPU-bound tap dispatch
-    (~H*27*Co*V selects) overtakes the gather rows it saves (measured:
-    slots win at L0 but lose at L1+).
+    Off-center hit counts on LiDAR scans are small and heavily skewed
+    (measured on flagship-size scans: mean 2.4/2.8/3.2/3.9 at levels 0-3,
+    p90 5-8, tails to ~18; see PERFORMANCE.md), so the big levels get a
+    SPLIT-PHASE spec ``(h_lo, h_max, vh_cap)`` (`ops.hierarchy
+    .build_slots_split`): ``h_lo`` slots cover all voxels (sized near p90),
+    and the few voxels with more hits go through a ``vh_cap``-row compacted
+    table that keeps them exact up to ``h_max`` total hits — cheap common
+    case AND exact tail, instead of the old single-cap trade-off between
+    wasted gather rows and dropped hits.  ``h_max`` carries ~2x headroom
+    over the observed per-level maxima; ``vh_cap`` 4-8x over the observed
+    heavy-voxel counts.
+
+    Deepest levels keep the dense 27-tap path: V shrinks while hit counts
+    (hence H) grow, and the slot kernel's VPU tap dispatch overtakes the
+    gather rows it saves.
 
     `GridLevel.slot_overflow` (logged as train/nbr_slot_overflow and in
-    eval logs) monitors that the cap does not bind.  IMPORTANT: a non-zero
-    overflow invalidates GRADIENTS, not just forward exactness — the
-    forward drops hits per the destination voxel's table while the
-    symmetry-based adjoint (`ops.spconv._subm_slots_bwd`) drops per the
+    eval logs) monitors that h_max/vh_cap never bind.  IMPORTANT: a
+    non-zero overflow invalidates GRADIENTS, not just forward exactness —
+    the forward drops hits per the destination voxel's table while the
+    symmetry-based adjoint (`ops.spconv._subm_slots2_bwd`) drops per the
     source voxel's, so the computed gradient no longer matches the computed
-    forward.  Treat any sustained overflow as a config error and raise the
-    cap.
+    forward.  Treat sustained overflow as a config error and raise the
+    caps.
     """
-    base = (16,)
-    return tuple(base[l] if l < len(base) else None for l in range(num_levels))
+    specs = []
+    for l in range(num_levels):
+        v = capacities[l] if capacities is not None else 1 << 16
+        if l == 0:
+            specs.append((6, 18, max(256, v // 8)))
+        elif l == 1:
+            specs.append((6, 22, max(256, v // 4)))
+        elif l == 2:
+            specs.append((8, 24, max(256, v // 4)))
+        else:
+            specs.append(None)  # dense path
+    return tuple(specs)
 
 
 def build_topology(
@@ -137,7 +154,7 @@ def build_topology(
             coords.shape[0], num_levels, batch_size=batch.batch_size
         )
     if slot_caps == "default":
-        slot_caps = default_slot_caps(num_levels)
+        slot_caps = default_slot_caps(num_levels, capacities)
     grid = voxelize(coords, bidx, mask, full_scale, capacity=capacities[0])
     hier = build_hierarchy(
         grid, num_levels, capacities=capacities, slot_caps=slot_caps,

@@ -243,3 +243,64 @@ def test_default_slot_caps_cover_flagship_scans():
     for lvl in hier.levels:
         if lvl.slot_overflow is not None:
             assert int(lvl.slot_overflow) == 0
+
+
+def test_split_slot_conv_matches_dense(rng):
+    """Split-phase slot conv (build_slots_split) == dense 27-tap conv on a
+    densely occupied grid where many voxels exceed h_lo hits."""
+    from mm2d3d_tpu.ops.spconv import _subm_apply, _subm_apply_slots2
+
+    p, b = 600, 2
+    coords = rng.randint(0, 8, size=(p, 3)).astype(np.int32)  # dense 8^3
+    batch = rng.randint(0, b, size=(p,)).astype(np.int32)
+    valid = rng.rand(p) < 0.95
+    grid = voxelize(jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), 8)
+    hier = build_hierarchy(
+        grid, num_levels=2,
+        slot_caps=((4, 26, grid.capacity), None),
+    )
+    lvl = hier.levels[0]
+    assert lvl.slot_src2 is not None
+    assert int(lvl.slot_overflow) == 0  # h_max=26 can never drop
+    # the dense grid must actually exercise phase 2
+    assert int((np.asarray(lvl.slot_idx) < lvl.capacity).sum()) > 10
+
+    cin, cout = 6, 5
+    feats = rng.randn(lvl.capacity, cin).astype(np.float32)
+    feats[int(lvl.num_voxels):] = 0.0
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+
+    dense = _subm_apply(jnp.asarray(feats), jnp.asarray(w), lvl.nbr)
+    split = subm_conv3(jnp.asarray(feats), lvl, jnp.asarray(w), compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(dense), rtol=1e-4, atol=1e-4)
+
+
+def test_split_slot_conv_grads_match_dense(rng):
+    """Custom VJP of the split-phase conv == autodiff of the dense conv."""
+    from mm2d3d_tpu.ops.spconv import _subm_apply
+
+    p, b = 400, 1
+    coords = rng.randint(0, 8, size=(p, 3)).astype(np.int32)
+    batch = np.zeros(p, np.int32)
+    valid = np.ones(p, bool)
+    grid = voxelize(jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), 8)
+    hier = build_hierarchy(grid, num_levels=1, slot_caps=((3, 26, grid.capacity),))
+    lvl = hier.levels[0]
+    assert int((np.asarray(lvl.slot_idx) < lvl.capacity).sum()) > 5
+
+    cin, cout = 4, 3
+    feats = rng.randn(lvl.capacity, cin).astype(np.float32)
+    feats[int(lvl.num_voxels):] = 0.0
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+    g_out = rng.randn(lvl.capacity, cout).astype(np.float32)
+
+    def loss_split(f, ww):
+        return jnp.sum(subm_conv3(f, lvl, ww, compute_dtype=jnp.float32) * g_out)
+
+    def loss_dense(f, ww):
+        return jnp.sum(_subm_apply(f, ww, lvl.nbr) * g_out)
+
+    gf_s, gw_s = jax.grad(loss_split, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(w))
+    gf_d, gw_d = jax.grad(loss_dense, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_d), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_d), rtol=1e-3, atol=1e-4)

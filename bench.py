@@ -112,16 +112,67 @@ def main():
         dt = time.perf_counter() - t0
 
     scans_per_sec = BATCH * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "lidar_scans_per_sec_per_chip_fused_fwd",
-                "value": round(scans_per_sec, 2),
-                "unit": "scans/s/chip",
-                "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC_ESTIMATE, 2),
-            }
+    result = {
+        "metric": "lidar_scans_per_sec_per_chip_fused_fwd",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s/chip",
+        "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC_ESTIMATE, 2),
+    }
+
+    # The actual workload: the full UDA train step at the reference's
+    # PER-GPU batch 8 (global 16 over 2 GPUs) — source + target forwards,
+    # backward, and both optimizers (reference train.py:186-292 +
+    # HybridOptim).  Throughput counts both domains' scans per step (16 =
+    # 8 src + 8 trg), the same accounting as PERFORMANCE.md.  Batch 16
+    # src+trg per chip exceeds the 16 GB HBM (measured 19.9 GB).
+    # MM2D3D_BENCH_SKIP_TRAIN=1 skips it (halves compile time).
+    if os.environ.get("MM2D3D_BENCH_SKIP_TRAIN") != "1":
+        result.update(_train_bench(task, mk, drain))
+    print(json.dumps(result))
+
+
+TRAIN_BATCH = 8  # per chip, per domain: 16 scans per step counting src+trg
+TRAIN_ITERS = 10
+
+
+def _train_bench(task, mk_fwd, drain):
+    import jax
+    import jax.numpy as jnp
+
+    from mm2d3d_tpu.data.synthetic import make_batch
+
+    def mk(seed):
+        return jax.tree_util.tree_map(
+            jnp.asarray,
+            make_batch(
+                np.random.RandomState(seed), batch_size=TRAIN_BATCH,
+                height=225, width=400, n_points=N_POINTS, num_classes=6,
+                full_scale=4096,
+            ),
         )
-    )
+
+    src, trg = mk(10), mk(11)
+    state = task.init_state(jax.random.PRNGKey(0), src)
+    step = jax.jit(task.train_step)  # no donation: state reused across iters
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(2):
+        _, logs = step(state, src, trg, rng)
+        drain(logs["train/loss_total"].reshape(1))
+    t0 = time.perf_counter()
+    logs = None
+    for _ in range(TRAIN_ITERS):
+        _, logs = step(state, src, trg, rng)
+    drain(logs["train/loss_total"].reshape(1))
+    dt = time.perf_counter() - t0
+    step_ms = dt / TRAIN_ITERS * 1000
+    return {
+        "train_scans_per_sec_per_chip": round(
+            2 * TRAIN_BATCH * TRAIN_ITERS / dt, 2
+        ),
+        "train_step_ms": round(step_ms, 1),
+        "train_batch_per_domain": TRAIN_BATCH,
+    }
 
 
 if __name__ == "__main__":

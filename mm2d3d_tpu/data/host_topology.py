@@ -86,6 +86,34 @@ def _build_slots_split_np(nbr: np.ndarray, h_lo: int, h_max: int, vh_cap: int):
     return src1, tap1, idx_hi, src2, tap2, np.int32(dropped)
 
 
+def _build_child_slots_np(child: np.ndarray, vf: int, h_lo: int, vh_cap: int):
+    """Numpy mirror of `ops.hierarchy.build_child_slots`."""
+    vc = child.shape[0]
+    hit = child < vf  # (Vc, 8)
+    cnt = hit.sum(1)
+    order = np.argsort(~hit, axis=1, kind="stable")  # (Vc, 8) taps, hits first
+    rows = np.arange(vc)[:, None]
+    taken = hit[rows, order]
+    src_full = np.where(taken, child[rows, order], vf).astype(np.int32).T
+    tap_full = np.where(taken, order, 8).astype(np.int32).T  # (8, Vc)
+
+    src1, tap1 = src_full[:h_lo], tap_full[:h_lo]
+    heavy = cnt > h_lo
+    heavy_rows = np.nonzero(heavy)[0]
+    idx_hi = np.full(vh_cap, vc, np.int32)
+    take = heavy_rows[:vh_cap]
+    idx_hi[: len(take)] = take
+    h2 = 8 - h_lo
+    src2 = np.full((h2, vh_cap), vf, np.int32)
+    tap2 = np.full((h2, vh_cap), 8, np.int32)
+    src2[:, : len(take)] = src_full[h_lo:, take]
+    tap2[:, : len(take)] = tap_full[h_lo:, take]
+    dropped = np.int32(
+        (cnt[heavy_rows[vh_cap:]] - h_lo).sum() if len(heavy_rows) > vh_cap else 0
+    )
+    return src1, tap1, idx_hi, src2, tap2, dropped
+
+
 def build_topology_host(
     coords: np.ndarray,  # (P, 3) int
     bidx: np.ndarray,  # (P,) int
@@ -95,6 +123,7 @@ def build_topology_host(
     capacities: Optional[Sequence[int]] = None,
     batch_size: Optional[int] = None,
     slot_caps: Optional[Sequence[Optional[int]]] = "default",
+    child_slot_caps=None,
 ) -> Tuple[VoxelGrid, Hierarchy]:
     assert native.available(), "native host ops unavailable"
     p = len(coords)
@@ -172,9 +201,26 @@ def build_topology_host(
                 **_slots_for(l, nbr, cap),
             )
         )
-        transitions.append(
-            LevelTransition(parent=parent, off_id=off_id, child=child)
-        )
+        if child_slot_caps is not None:
+            h_lo, vh = (
+                (3, max(256, cap // 4))
+                if child_slot_caps == "default"
+                else child_slot_caps[l - 1]
+            )
+            s1, t1, cidx, s2, t2, cdrop = _build_child_slots_np(
+                child, prev["cap"], h_lo, min(vh, cap)
+            )
+            transitions.append(
+                LevelTransition(
+                    parent=parent, off_id=off_id, child=child,
+                    cslot_src=s1, cslot_tap=t1, cslot_idx=cidx,
+                    cslot_src2=s2, cslot_tap2=t2, cslot_overflow=cdrop,
+                )
+            )
+        else:
+            transitions.append(
+                LevelTransition(parent=parent, off_id=off_id, child=child)
+            )
         prev = dict(coords=cc, batch=cb, nvox=nv, cap=cap, fs=fs)
 
     return grid, Hierarchy(levels=tuple(levels), transitions=tuple(transitions))

@@ -71,6 +71,103 @@ def resnet34_state_dict_to_flax(
     return params, stats
 
 
+def _tconv(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (Cin, Cout, kh, kw) -> flax ConvTranspose
+    (kh, kw, Cin, Cout) with the spatial flip flax's non-transposed kernel
+    convention requires (verified numerically against torch)."""
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1]
+    ).astype(np.float32)
+
+
+def net2dseg_state_dict_to_flax(sd: Mapping[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Convert a FULL reference Net2DSeg state_dict into (params,
+    batch_stats) for `models.net2d.Net2DSeg`.
+
+    Covers both backbones (stems hoisted to the fused dual-stem layout),
+    the 4 up/fuse decoder stages, dec_conv_stage1, and the two pooled heads
+    (``2d_net/model.py:35-180``).  The reference aux module's unused
+    ``linear`` layer is skipped.
+    """
+
+    def bn(prefix):
+        return (
+            {
+                "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+                "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
+            },
+            {
+                "mean": np.asarray(sd[f"{prefix}.running_mean"], np.float32),
+                "var": np.asarray(sd[f"{prefix}.running_var"], np.float32),
+            },
+        )
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    for torch_name, stem_name in (
+        ("rgb_backbone", "stem_rgb"), ("depth_backbone", "stem_depth"),
+    ):
+        sub = {
+            k[len(torch_name) + 1:]: v
+            for k, v in sd.items()
+            if k.startswith(torch_name + ".")
+        }
+        # reference Backbone wraps the torchvision net as .encoder
+        sub = {
+            (k[len("encoder."):] if k.startswith("encoder.") else k): v
+            for k, v in sub.items()
+        }
+        p, s = resnet34_state_dict_to_flax(sub)
+        params[stem_name] = p.pop("stem")
+        stats[stem_name] = s.pop("stem")
+        params[torch_name] = p
+        stats[torch_name] = s
+
+    # decoder: dec_t_conv_stage{5,4,3,2} -> up{5,4,3,2};
+    # dec_conv_stage{4,3,2} -> fuse{4,3,2}
+    for t_name, f_name in (
+        ("dec_t_conv_stage5", "up5"), ("dec_t_conv_stage4", "up4"),
+        ("dec_t_conv_stage3", "up3"), ("dec_t_conv_stage2", "up2"),
+    ):
+        bn_p, bn_s = bn(f"{t_name}.1")
+        params[f_name] = {
+            "tconv": {
+                "kernel": _tconv(sd[f"{t_name}.0.weight"]),
+                "bias": np.asarray(sd[f"{t_name}.0.bias"], np.float32),
+            },
+            "bn": bn_p,
+        }
+        stats[f_name] = {"bn": bn_s}
+    for t_name, f_name in (
+        ("dec_conv_stage4", "fuse4"), ("dec_conv_stage3", "fuse3"),
+        ("dec_conv_stage2", "fuse2"),
+    ):
+        bn_p, bn_s = bn(f"{t_name}.1")
+        params[f_name] = {
+            "conv": {
+                "kernel": _conv(sd[f"{t_name}.0.weight"]),
+                "bias": np.asarray(sd[f"{t_name}.0.bias"], np.float32),
+            },
+            "bn": bn_p,
+        }
+        stats[f_name] = {"bn": bn_s}
+
+    params["dec_conv_stage1"] = {
+        "kernel": _conv(sd["dec_conv_stage1.weight"]),
+        "bias": np.asarray(sd["dec_conv_stage1.bias"], np.float32),
+    }
+    params["head_conv"] = {
+        "kernel": _conv(sd["con1_1_avg.weight"]),
+        "bias": np.asarray(sd["con1_1_avg.bias"], np.float32),
+    }
+    params["aux_conv"] = {
+        "kernel": _conv(sd["aux.con1_1_avg.weight"]),
+        "bias": np.asarray(sd["aux.con1_1_avg.bias"], np.float32),
+    }
+    return params, stats
+
+
 def load_pretrained_backbone(checkpoint_path: str) -> Tuple[Dict, Dict]:
     """Load a torchvision resnet34 checkpoint (.pth) from disk and convert.
 

@@ -81,6 +81,17 @@ class LevelTransition:
     parent: jax.Array  # (Vf,) int32 in [0, Vc]; Vc = dump for invalid rows
     off_id: jax.Array  # (Vf,) int32 in [0, 8); child offset within parent
     child: jax.Array  # (Vc, 8) int32 in [0, Vf]; Vf = missing child
+    # Split-phase slot compaction of `child` (`build_child_slots`): mean
+    # child counts are ~1.5-2.2 of 8, so the strided down conv (and the
+    # deconv adjoint) gather h_lo rows per parent instead of 8, with the
+    # few heavier parents compacted into a second exact table (h_max = 8
+    # structurally cannot drop; only the slot_idx capacity is monitored).
+    cslot_src: Optional[jax.Array] = None  # (h_lo, Vc) int32; Vf = empty
+    cslot_tap: Optional[jax.Array] = None  # (h_lo, Vc) int32 in [0, 8); 8 = empty
+    cslot_idx: Optional[jax.Array] = None  # (Vh,) int32; Vc = pad
+    cslot_src2: Optional[jax.Array] = None  # (8 - h_lo, Vh)
+    cslot_tap2: Optional[jax.Array] = None
+    cslot_overflow: Optional[jax.Array] = None  # () int32
 
 
 @struct.dataclass
@@ -205,6 +216,23 @@ def build_slots(nbr: jax.Array, num_slots: int):
     return jnp.stack(src), jnp.stack(tap), dropped
 
 
+
+def _compact_indices(mask: jax.Array, cap: int, fill: int) -> jax.Array:
+    """First `cap` indices where `mask`, in order; `fill` pads the tail.
+
+    cumsum + one narrow scatter — jnp.nonzero(size=...) lowers to a full
+    sort, which costs more than every other op in the slot builders.
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (pos < cap), pos, cap)
+    return (
+        jnp.full((cap + 1, 1), fill, jnp.int32)
+        .at[tgt].set(jnp.arange(n, dtype=jnp.int32)[:, None], mode="drop")
+        [:cap, 0]
+    )
+
+
 def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
     """Split-phase slot compaction: a dense `h_lo`-slot table for ALL voxels
     plus a compacted overflow table for the few voxels with more hits.
@@ -245,7 +273,7 @@ def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
     # deep chain over all V columns is ~10x the phase-1 cost for <2% of
     # voxels.
     heavy = cnt > h_lo
-    idx_hi = jnp.nonzero(heavy, size=vh_cap, fill_value=v)[0].astype(jnp.int32)
+    idx_hi = _compact_indices(heavy, vh_cap, v)
     nbr_rows = jnp.concatenate(
         [nbr.T, jnp.full((1, 27), v, jnp.int32)], 0
     )  # (V + 1, 27)
@@ -273,6 +301,55 @@ def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
         0,
     )
     dropped = over_tail + jnp.sum(uncompacted)
+    return (jnp.stack(src1), jnp.stack(tap1), idx_hi, jnp.stack(src2),
+            jnp.stack(tap2), dropped)
+
+
+def build_child_slots(child: jax.Array, vf: int, h_lo: int, vh_cap: int):
+    """Split-phase compaction of a (Vc, 8) child table (cf.
+    `build_slots_split`, specialized to the strided conv's 8 taps).
+
+    The tap id IS the child octant (the column index of `child`), so the
+    chain just packs present children left.  h_max is fixed at 8 — a parent
+    has at most 8 children — so nothing can be dropped except by the
+    `vh_cap` compaction capacity (monitored).
+
+    Returns: (src1 (h_lo, Vc), tap1, idx_hi (vh_cap,), src2 (8 - h_lo, Vh),
+              tap2, dropped () int32).
+    """
+    vc = child.shape[0]
+    src1 = [jnp.full((vc,), vf, jnp.int32) for _ in range(h_lo)]
+    tap1 = [jnp.full((vc,), 8, jnp.int32) for _ in range(h_lo)]
+    cnt = jnp.zeros((vc,), jnp.int32)
+    for k in range(8):
+        hit = child[:, k] < vf
+        for h in range(h_lo):
+            sel = hit & (cnt == h)
+            src1[h] = jnp.where(sel, child[:, k], src1[h])
+            tap1[h] = jnp.where(sel, k, tap1[h])
+        cnt = cnt + hit.astype(jnp.int32)
+
+    heavy = cnt > h_lo
+    idx_hi = _compact_indices(heavy, vh_cap, vc)
+    child_pad = jnp.concatenate([child, jnp.full((1, 8), vf, jnp.int32)], 0)
+    child_hi = jnp.take(child_pad, idx_hi, axis=0)  # (Vh, 8)
+
+    h2 = 8 - h_lo
+    src2 = [jnp.full((vh_cap,), vf, jnp.int32) for _ in range(h2)]
+    tap2 = [jnp.full((vh_cap,), 8, jnp.int32) for _ in range(h2)]
+    cnt_hi = jnp.zeros((vh_cap,), jnp.int32)
+    for k in range(8):
+        hit = child_hi[:, k] < vf
+        for h in range(h2):
+            sel = hit & (cnt_hi == h_lo + h)
+            src2[h] = jnp.where(sel, child_hi[:, k], src2[h])
+            tap2[h] = jnp.where(sel, k, tap2[h])
+        cnt_hi = cnt_hi + hit.astype(jnp.int32)
+
+    uncompacted = jnp.where(
+        heavy & (jnp.cumsum(heavy.astype(jnp.int32)) > vh_cap), cnt - h_lo, 0
+    )
+    dropped = jnp.sum(uncompacted)
     return (jnp.stack(src1), jnp.stack(tap1), idx_hi, jnp.stack(src2),
             jnp.stack(tap2), dropped)
 
@@ -424,6 +501,7 @@ def build_hierarchy(
     capacities: Optional[Sequence[int]] = None,
     slot_caps: Optional[Sequence[Optional[int]]] = None,
     num_batches: Optional[int] = None,
+    child_slot_caps=None,
 ) -> Hierarchy:
     """Build all U-Net levels from the level-0 voxel grid.
 
@@ -441,12 +519,35 @@ def build_hierarchy(
         at that level.  None disables slot tables everywhere.
       num_batches: static batch count; enables the dense-map neighbor
         lookup at the coarsest level (see `build_nbr`).
+      child_slot_caps: per-transition (h_lo, vh_cap) specs for the strided
+        conv's child-table compaction (`build_child_slots`); "default" uses
+        (3, Vc/4) everywhere (child counts: mean ~1.5-2.2, p90 3-4).
+        Default None — MEASURED NEGATIVE at the flagship size: the ~1 ms of
+        gather rows saved is outweighed by table construction plus the
+        extra kernel launches (fused fwd 127.5 -> 123.1 scans/s, train step
+        315 -> 323 ms).  Kept opt-in for shapes where the trade flips.
     """
     grids = [grid]
     transitions = []
     for l in range(1, num_levels):
         cap = capacities[l] if capacities is not None else None
         grid_c, trans = _coarsen_grid(grids[-1], capacity=cap)
+        if child_slot_caps is not None:
+            spec = (
+                (3, max(256, grid_c.capacity // 4))
+                if child_slot_caps == "default"
+                else child_slot_caps[l - 1]
+            )
+            if spec is not None:
+                h_lo, vh_cap = spec
+                s1, t1, idx, s2, t2, dropped = build_child_slots(
+                    trans.child, grids[-1].capacity, h_lo,
+                    min(vh_cap, grid_c.capacity),
+                )
+                trans = trans.replace(
+                    cslot_src=s1, cslot_tap=t1, cslot_idx=idx,
+                    cslot_src2=s2, cslot_tap2=t2, cslot_overflow=dropped,
+                )
         grids.append(grid_c)
         transitions.append(trans)
 

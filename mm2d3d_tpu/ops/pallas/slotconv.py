@@ -136,7 +136,9 @@ def slot_apply(x_src: jax.Array, tap: jax.Array, weight: jax.Array) -> jax.Array
     h, v, ci = x_src.shape
     co = weight.shape[-1]
     tile = 512 if co <= 32 else 256
-    if not _on_tpu() or h == 0:
+    # fp32 keeps HIGHEST-precision XLA matmuls (parity/testing) — the
+    # kernel's MXU dots run at default (bf16-pass) precision
+    if not _on_tpu() or h == 0 or x_src.dtype == jnp.float32:
         return _apply_xla(x_src, tap, weight)
     # pad V up to the tile size (empty slots contribute nothing) rather than
     # silently falling back to the XLA formulation, which materializes
@@ -231,7 +233,8 @@ def slot_dw(x_src: jax.Array, tap: jax.Array, g: jax.Array,
     h, v, ci = x_src.shape
     co = g.shape[-1]
     tile = 512 if co <= 32 else 256
-    if not _on_tpu() or h == 0:
+    # fp32 -> XLA path at HIGHEST precision (cf. slot_apply)
+    if not _on_tpu() or h == 0 or x_src.dtype == jnp.float32:
         return _dw_xla(x_src, tap, g, k_taps)
     vp = -(-v // tile) * tile
     if vp != v:  # tile-pad (cf. slot_apply); padded slots match no tap band

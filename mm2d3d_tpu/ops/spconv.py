@@ -347,6 +347,51 @@ def _down_bwd(res, g):
 _down_apply.defvjp(_down_fwd, _down_bwd)
 
 
+# --- slot-compacted strided conv (hierarchy.build_child_slots): parents
+# have ~1.5-2.2 children on average, so gather h_lo child rows instead of 8,
+# with heavy parents routed through the compacted exact table.
+
+def _down_slots_raw(fine_feats, weight, s1, t1, idx, s2, t2):
+    from .pallas.slotconv import slot_apply
+
+    padded = _pad_zero_row(fine_feats)
+    x1 = jnp.take(padded, s1, axis=0)  # (h_lo, Vc, Ci)
+    out = slot_apply(x1, t1, weight)
+    x2 = jnp.take(padded, s2, axis=0)  # (h2, Vh, Ci)
+    o2 = slot_apply(x2, t2, weight)
+    return _scatter_add_rows(out, idx, o2), x1, x2
+
+
+@jax.custom_vjp
+def _down_apply_slots(fine_feats, weight, s1, t1, idx, s2, t2, parent, off_id):
+    return _down_slots_raw(fine_feats, weight, s1, t1, idx, s2, t2)[0]
+
+
+def _down_slots_fwd(fine_feats, weight, s1, t1, idx, s2, t2, parent, off_id):
+    out, x1, x2 = _down_slots_raw(fine_feats, weight, s1, t1, idx, s2, t2)
+    return out, (x1, x2, weight, t1, idx, t2, parent, off_id)
+
+
+def _down_slots_bwd(res, g):
+    from .pallas.slotconv import slot_dw
+
+    x1, x2, weight, t1, idx, t2, parent, off_id = res
+    g = g.astype(x1.dtype)
+    # transpose of down conv = deconv through (parent, off_id), as dense
+    d_fine = _up_apply_raw(g, weight.swapaxes(1, 2), parent, off_id).astype(
+        x1.dtype
+    )
+    g_hi = jnp.take(_pad_zero_row(g), idx, axis=0)  # (Vh, Co)
+    d_weight = (
+        slot_dw(x1, t1, g, k_taps=8) + slot_dw(x2, t2, g_hi, k_taps=8)
+    ).astype(weight.dtype)
+    return (d_fine, d_weight, _int_zero(t1), _int_zero(t1), _int_zero(idx),
+            _int_zero(t2), _int_zero(t2), _int_zero(parent), _int_zero(off_id))
+
+
+_down_apply_slots.defvjp(_down_slots_fwd, _down_slots_bwd)
+
+
 def down_conv2(
     fine_feats: jax.Array,
     trans: LevelTransition,
@@ -357,6 +402,12 @@ def down_conv2(
 
     weight: (8, Cin, Cout), tap order = `hierarchy.OFFSETS_8`.
     """
+    if trans.cslot_src is not None:
+        return _down_apply_slots(
+            fine_feats.astype(compute_dtype), weight.astype(compute_dtype),
+            trans.cslot_src, trans.cslot_tap, trans.cslot_idx,
+            trans.cslot_src2, trans.cslot_tap2, trans.parent, trans.off_id,
+        )
     return _down_apply(
         fine_feats.astype(compute_dtype), weight.astype(compute_dtype),
         trans.child.T, trans.parent, trans.off_id,
@@ -396,6 +447,47 @@ def _up_bwd(res, g):
 _up_apply.defvjp(_up_fwd, _up_bwd)
 
 
+@jax.custom_vjp
+def _up_apply_slots(coarse_feats, weight, parent, off_id, s1, t1, idx, s2, t2):
+    return _up_apply_raw(coarse_feats, weight, parent, off_id)
+
+
+def _up_slots_fwd(coarse_feats, weight, parent, off_id, s1, t1, idx, s2, t2):
+    out = _up_apply_raw(coarse_feats, weight, parent, off_id)
+    return out, (coarse_feats, weight, parent, off_id, s1, t1, idx, s2, t2)
+
+
+def _up_slots_bwd(res, g):
+    from .pallas.slotconv import slot_apply
+
+    coarse_feats, weight, parent, off_id, s1, t1, idx, s2, t2 = res
+    g = g.astype(coarse_feats.dtype)
+    # transpose of deconv = down conv through the (slot-compacted) child map
+    w_t = weight.swapaxes(1, 2)
+    g_pad = _pad_zero_row(g)
+    g1 = jnp.take(g_pad, s1, axis=0)  # (h_lo, Vc, Co)
+    d_coarse = slot_apply(g1, t1, w_t)
+    g2 = jnp.take(g_pad, s2, axis=0)
+    d_coarse = _scatter_add_rows(
+        d_coarse, idx, slot_apply(g2, t2, w_t)
+    ).astype(coarse_feats.dtype)
+    # d_weight[k] = sum over fine rows with off_id==k of coarse[parent] x g
+    vc = coarse_feats.shape[0]
+    padded = _pad_zero_row(coarse_feats)
+    gp = jnp.take(padded, jnp.minimum(parent, vc), axis=0)  # (Vf, Cin)
+    onehot = jax.nn.one_hot(off_id, 8, dtype=gp.dtype)  # (Vf, 8)
+    d_weight = jnp.einsum(
+        "vk,vc,vd->kcd", onehot, gp, g,
+        precision=_precision(coarse_feats.dtype),
+    ).astype(weight.dtype)
+    return (d_coarse, d_weight, _int_zero(parent), _int_zero(off_id),
+            _int_zero(s1), _int_zero(t1), _int_zero(idx), _int_zero(s2),
+            _int_zero(t2))
+
+
+_up_apply_slots.defvjp(_up_slots_fwd, _up_slots_bwd)
+
+
 def up_conv2(
     coarse_feats: jax.Array,
     trans: LevelTransition,
@@ -406,6 +498,12 @@ def up_conv2(
 
     weight: (8, Cin, Cout) — taps indexed by the fine site's off_id.
     """
+    if trans.cslot_src is not None:
+        return _up_apply_slots(
+            coarse_feats.astype(compute_dtype), weight.astype(compute_dtype),
+            trans.parent, trans.off_id, trans.cslot_src, trans.cslot_tap,
+            trans.cslot_idx, trans.cslot_src2, trans.cslot_tap2,
+        )
     return _up_apply(
         coarse_feats.astype(compute_dtype), weight.astype(compute_dtype),
         trans.parent, trans.off_id, trans.child.T,

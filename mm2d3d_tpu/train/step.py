@@ -293,6 +293,11 @@ class MM2D3DTask:
             for topo in (topo_src, topo_trg)
             for lvl in topo[1].levels
             if lvl.slot_overflow is not None
+        ) + sum(
+            tr.cslot_overflow.astype(jnp.float32)
+            for topo in (topo_src, topo_trg)
+            for tr in topo[1].transitions
+            if tr.cslot_overflow is not None
         ) + jnp.float32(0.0)
         # in-bounds points truncated by the n_points budget (data.base
         # pad_sample): dropped points silently vanish from the loss
@@ -361,6 +366,10 @@ class MM2D3DTask:
             lvl.slot_overflow.astype(jnp.float32)
             for lvl in topo[1].levels
             if lvl.slot_overflow is not None
+        ) + sum(
+            tr.cslot_overflow.astype(jnp.float32)
+            for tr in topo[1].transitions
+            if tr.cslot_overflow is not None
         ) + jnp.float32(0.0)
         return new_metrics, logs
 

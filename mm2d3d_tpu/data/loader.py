@@ -45,7 +45,14 @@ class Loader:
         drop_last: bool = False,
         seed: int = 0,
         num_workers: int = 0,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
+        """`batch_size` is the PER-PROCESS batch.  With `num_shards` > 1
+        (multi-host training: one process per host), every process samples
+        the same global order (same seed) and takes its `shard_id` slice of
+        each global batch of `batch_size * num_shards` scans — each host
+        loads only its own shard (SURVEY §2.7 DCN/multi-host story)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.n_points = n_points
@@ -53,6 +60,8 @@ class Loader:
         self.drop_last = drop_last
         self.seed = seed
         self.num_workers = num_workers
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self.epoch = 0
         self._pool = None
 
@@ -61,9 +70,12 @@ class Loader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        g = self.batch_size * self.num_shards
+        if self.drop_last or self.num_shards > 1:
+            # sharded loaders also drop the tail partial batch (equal
+            # per-process batch counts; see __iter__)
+            return n // g
+        return (n + g - 1) // g
 
     def _sample_seed(self, index: int) -> int:
         return (self.seed * 1_000_003 + self.epoch * 97 + index) % (2**31 - 1)
@@ -82,11 +94,15 @@ class Loader:
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
 
+        g = self.batch_size * self.num_shards
+        lo = self.shard_id * self.batch_size
         batches = [
-            order[i : i + self.batch_size]
-            for i in range(0, n, self.batch_size)
+            order[i + lo : i + lo + self.batch_size]
+            for i in range(0, n, g)
         ]
-        if self.drop_last:
+        if self.drop_last or self.num_shards > 1:
+            # multi-host: every process must yield the same number of
+            # equally-sized batches or collectives deadlock
             batches = [b for b in batches if len(b) == self.batch_size]
 
         pool = self._pool_handle()

@@ -47,6 +47,8 @@ def load_datamodule(
     seed: int = 42,
     short_run: bool = False,
     reduce_factor: int = 1,
+    num_shards: int = 1,
+    shard_id: int = 0,
 ) -> DataModule:
     """Build the four datasets + loaders for a UDA scenario.
 
@@ -153,13 +155,21 @@ def load_datamodule(
         raise ValueError(f"unknown datamodule {name!r}")
 
     test_bs = test_batch_size or batch_size
+    shard_kw = dict(num_shards=num_shards, shard_id=shard_id)
+    # NB multi-host (num_shards > 1): val/test loaders shard too and drop
+    # the tail partial batch (collectives need equal per-process batches);
+    # single-host evaluates every scan.
     return DataModule(
         source_train=Loader(src_train, batch_size, n_points, shuffle=True,
-                            drop_last=True, seed=seed, num_workers=num_workers),
+                            drop_last=True, seed=seed, num_workers=num_workers,
+                            **shard_kw),
         target_train=Loader(trg_train, batch_size, n_points, shuffle=True,
-                            drop_last=True, seed=seed + 1, num_workers=num_workers),
-        target_val=Loader(trg_val, test_bs, n_points, num_workers=num_workers),
-        target_test=Loader(trg_test, test_bs, n_points, num_workers=num_workers),
+                            drop_last=True, seed=seed + 1, num_workers=num_workers,
+                            **shard_kw),
+        target_val=Loader(trg_val, test_bs, n_points, num_workers=num_workers,
+                          **shard_kw),
+        target_test=Loader(trg_test, test_bs, n_points, num_workers=num_workers,
+                           **shard_kw),
         num_classes=src_train.num_classes,
         class_names=list(src_train.merged_class_names),
     )

@@ -37,11 +37,25 @@ def batch_spec() -> P:
 
 
 def shard_batch(batch: PointBatch, mesh: Mesh) -> PointBatch:
-    """Place a host batch onto the mesh, sharded along the batch dimension."""
+    """Place a host batch onto the mesh, sharded along the batch dimension.
+
+    Single-host: `batch` is the full global batch, device_put sharded.
+    Multi-host (jax.process_count() > 1): `batch` is this PROCESS's local
+    shard (the loaders shard by process, `data.loader.Loader(num_shards)`);
+    the global array is assembled from the per-process shards without any
+    cross-host data movement.
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    multihost = jax.process_count() > 1
 
     def put(x):
-        return None if x is None else jax.device_put(x, sharding)
+        if x is None:
+            return None
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

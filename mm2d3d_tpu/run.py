@@ -107,22 +107,26 @@ def build_task(cfg: Dict, num_classes: int, axis_name=None):
     return task
 
 
-def build_datamodule(cfg: Dict):
+def build_datamodule(cfg: Dict, num_shards: int = 1, shard_id: int = 0):
     from .data.registry import load_datamodule
 
     ds = cfg["dataset"]
     run = cfg["run"]
+    per_process = run["batch_size"] // num_shards
+    test_bs = run.get("test_batch_size")
     return load_datamodule(
         ds["name"],
         cfg_source=ds["source"],
         cfg_target=ds["target"],
-        batch_size=run["batch_size"],
-        test_batch_size=run.get("test_batch_size"),
+        batch_size=per_process,
+        test_batch_size=None if test_bs is None else test_bs // num_shards,
         n_points=cfg["train"].get("n_points", 8192),
         num_workers=cfg["train"].get("num_workers", 0),
         augmentations=ds.get("augmentations"),
         specific=ds.get("specific"),
         seed=cfg["train"].get("seed", 42),
+        num_shards=num_shards,
+        shard_id=shard_id,
     )
 
 
@@ -140,6 +144,16 @@ def main(argv=None):
         from .utils.config import _deep_merge
 
         cfg["train"] = _deep_merge(cfg["train"], cfg.pop("train_overrides"))
+
+    # multi-host (multi-slice) runtime: one process per host, coordinated by
+    # the standard JAX distributed runtime (SURVEY §2.7 — the reference's
+    # Lightning DDP process group, recast).  Enable with run.distributed=true
+    # or MM2D3D_DISTRIBUTED=1; coordinator/process env vars follow JAX
+    # conventions (auto-detected on TPU pods).
+    if cfg["run"].get("distributed") or os.environ.get("MM2D3D_DISTRIBUTED") == "1":
+        import jax
+
+        jax.distributed.initialize()
 
     seed = cfg["train"].get("seed", 42)
     np.random.seed(seed)
@@ -185,7 +199,15 @@ def main(argv=None):
                 f"by {n_dev} devices; training single-device"
             )
 
-    dm = build_datamodule(cfg)
+    n_proc, proc_id = jax.process_count(), jax.process_index()
+    if n_proc > 1:
+        assert cfg["run"]["batch_size"] % n_proc == 0, (
+            f"global batch {cfg['run']['batch_size']} not divisible by "
+            f"{n_proc} processes"
+        )
+        print(f"multi-host: process {proc_id}/{n_proc}, "
+              f"{jax.local_device_count()} local devices")
+    dm = build_datamodule(cfg, num_shards=n_proc, shard_id=proc_id)
     task = build_task(cfg, dm.num_classes, axis_name=axis_name)
     logger.log_hyperparams({"models": task.model_info})
 

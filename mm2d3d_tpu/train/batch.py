@@ -67,8 +67,10 @@ def default_capacities(
     Real LiDAR occupancy roughly halves per level below level 1 (measured on
     beam-structured scans: [48k, 32k, 19k, 10k, 5k, 2.3k, 1.1k] for 65k
     points = 8 scans), so full-capacity tables at every level waste ~4x
-    gather work.  Schedule: [P, 3P/4, P/2, P/4, ...] with ~1.5-2x headroom
-    over measured occupancy.
+    gather work.  Schedule: [P, 5P/8, 3P/8, P/4, ...] — ~1.3x headroom over
+    measured occupancy at L1/L2 (every gather/select/BN there scales with
+    capacity; `train/voxel_overflow_levels` monitors the margin) and
+    ~1.5-2x below.
 
     Coarse-level occupancy scales with SCENE EXTENT per scan, not with
     point count (per scan: ~1.3k/625/290/138 rows at levels 3-6 almost
@@ -80,8 +82,11 @@ def default_capacities(
     caps = []
     for l in range(num_levels):
         if l == 1:
-            # measured occupancy ~P/2 (e.g. 32k of 65k points); 1.5x headroom
-            cap = (num_points * 3) >> 2
+            # measured occupancy ~P/2 (e.g. 32k of 65k points); 1.28x headroom
+            cap = (num_points * 5) >> 3
+        elif l == 2:
+            # measured ~0.29P (19k of 65k); 1.31x headroom
+            cap = (num_points * 3) >> 3
         else:
             cap = num_points >> max(0, l - 1)
         if batch_size is not None and l >= 3:

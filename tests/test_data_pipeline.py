@@ -171,3 +171,41 @@ def test_config_composition(tmp_path):
     assert cfg["run"]["max_epochs"] == 1
     assert cfg["dataset"]["name"] == "other"
     assert cfg["train"]["lr"] == 0.5
+
+
+def test_loader_process_sharding():
+    """Multi-host loader sharding: same seed => disjoint equal-size shards
+    of the same global batches, equal batch counts per process
+    (parallel.mesh multi-host input path)."""
+    import numpy as np
+
+    from mm2d3d_tpu.data.loader import Loader
+
+    class DS:
+        def __len__(self):
+            return 37
+
+        def __getitem__(self, i, rng=None):
+            n = 8
+            return {
+                "img": np.zeros((4, 6, 3), np.float32),
+                "depth": np.zeros((4, 6), np.float32),
+                "img_indices": np.zeros((n, 2), np.int64),
+                "coords": np.full((n, 3), i % 16, np.int64),
+                "feats": np.ones((n, 3), np.float32),
+                "seg_label": np.full(n, i % 5, np.int64),
+            }
+
+    shards = [
+        Loader(DS(), 2, 8, shuffle=True, seed=7, num_shards=2, shard_id=s)
+        for s in range(2)
+    ]
+    a = list(shards[0])
+    b = list(shards[1])
+    assert len(a) == len(b) == len(shards[0]) == 37 // 4
+    for x, y in zip(a, b):
+        # disjoint halves of the same global batch: labels differ per index
+        assert x.coords.shape == y.coords.shape == (2, 8, 3)
+        assert not np.array_equal(x.seg_label, y.seg_label) or not np.array_equal(
+            x.coords, y.coords
+        )

@@ -46,7 +46,7 @@ def _keys_for(coords, batch, valid, full_scale):
 
 def _build_slots_np(nbr: np.ndarray, num_slots: int):
     """Numpy mirror of `ops.hierarchy.build_slots` (same slot order)."""
-    from ..ops.pallas.slotconv import MISS_TAP
+    from ..ops.pallas.bandmm import MISS_TAP
 
     k, v = nbr.shape
     hit = nbr < v

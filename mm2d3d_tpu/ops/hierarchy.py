@@ -56,7 +56,7 @@ class GridLevel:
     # Slot-compacted form of `nbr` (see `build_slots` / `build_slots_split`):
     # per voxel, the first `H` off-center hits as (source row, tap id).
     # Consumed by the slot-compacted submanifold conv (`ops.spconv` /
-    # `ops.pallas.slotconv`); None = use the dense 27-tap path.
+    # `ops.pallas.bandmm`); None = use the dense 27-tap path.
     slot_src: Optional[jax.Array] = None  # (H, V) int32 in [0, V]; V = empty
     slot_tap: Optional[jax.Array] = None  # (H, V) int32 in [0, 27); 27 = empty
     slot_overflow: Optional[jax.Array] = None  # () int32 dropped-hit count
@@ -196,7 +196,7 @@ def build_slots(nbr: jax.Array, num_slots: int):
 
     Returns: (slot_src (H, V) int32, slot_tap (H, V) int32, dropped () int32).
     """
-    from .pallas.slotconv import MISS_TAP
+    from .pallas.bandmm import MISS_TAP
 
     v = nbr.shape[1]
     h_caps = num_slots

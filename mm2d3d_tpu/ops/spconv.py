@@ -122,66 +122,50 @@ def _subm_bwd(res, g):
 _subm_apply.defvjp(_subm_fwd, _subm_bwd)
 
 
-# --- slot-compacted variant (see ops/pallas/slotconv.py for the rationale):
+# --- slot-compacted variant (see ops/pallas/bandmm.py for the rationale):
 # gathers only the H per-voxel hit slots instead of all 27 tap rows; the
-# center tap is a gather-free masked matmul.  Exact as long as the slot
-# table did not drop hits (`GridLevel.slot_overflow` == 0, monitored).
+# whole conv (center tap included, as band 13 of the banded matrix) is ONE
+# banded matmul.  Exact as long as the slot table did not drop hits
+# (`GridLevel.slot_overflow` == 0, monitored).
 
-def _slot_center(feats, weight13, valid):
-    ctr = jnp.where(valid[:, None], feats, jnp.zeros_like(feats))
-    return jnp.dot(
-        ctr, weight13,
-        preferred_element_type=jnp.float32,
-        precision=_precision(feats.dtype),
-    )
+def _masked(feats, valid):
+    return jnp.where(valid[:, None], feats, jnp.zeros_like(feats))
 
 
 @jax.custom_vjp
 def _subm_apply_slots(feats, weight, slot_src, slot_tap, valid):
-    from .pallas.slotconv import slot_apply
+    from .pallas.bandmm import slot_conv_apply
 
     padded = _pad_zero_row(feats)
     x_src = jnp.take(padded, slot_src, axis=0)  # (H, V, Cin)
-    return slot_apply(x_src, slot_tap, weight) + _slot_center(
-        feats, weight[13], valid
-    )
+    return slot_conv_apply(_masked(feats, valid), x_src, slot_tap, weight)
 
 
 def _subm_slots_fwd(feats, weight, slot_src, slot_tap, valid):
-    from .pallas.slotconv import slot_apply
+    from .pallas.bandmm import slot_conv_apply
 
     padded = _pad_zero_row(feats)
     x_src = jnp.take(padded, slot_src, axis=0)  # (H, V, Cin) — kept as the
     # residual: the weight gradient needs exactly this tensor (cf. _subm_fwd)
-    out = slot_apply(x_src, slot_tap, weight) + _slot_center(
-        feats, weight[13], valid
-    )
+    out = slot_conv_apply(_masked(feats, valid), x_src, slot_tap, weight)
     return out, (x_src, feats, weight, slot_src, slot_tap, valid)
 
 
 def _subm_slots_bwd(res, g):
-    from .pallas.slotconv import slot_apply, slot_dw
+    from .pallas.bandmm import slot_conv_apply, slot_conv_dw
 
     x_src, feats, weight, slot_src, slot_tap, valid = res
     g = g.astype(feats.dtype)
     # adjoint conv: same slot table read at the destination column, with
     # negated taps (row 26-k) and transposed matrices — exactly the dense
-    # path's adjoint structure (_subm_bwd), compacted.
+    # path's adjoint structure (_subm_bwd), compacted.  Band 13 of the
+    # flipped weights is weight[13]^T, so the center adjoint folds in too.
     w_flip = weight[::-1].swapaxes(1, 2)
     g_pad = _pad_zero_row(g)
     g_src = jnp.take(g_pad, slot_src, axis=0)  # (H, V, Cout)
-    d_feats = slot_apply(g_src, slot_tap, w_flip) + _slot_center(
-        g, weight[13].T, valid
-    )
-    d_weight = slot_dw(x_src, slot_tap, g)  # (27, Cin, Cout); row 13 zero
-    ctr = jnp.where(valid[:, None], feats, jnp.zeros_like(feats))
-    dw13 = jax.lax.dot_general(
-        ctr, g,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_precision(feats.dtype),
-    )
-    d_weight = d_weight.at[13].add(dw13)
+    d_feats = slot_conv_apply(_masked(g, valid), g_src, slot_tap, w_flip)
+    # dw row 13 = masked(feats)^T @ g — the center band of the same E tile
+    d_weight = slot_conv_dw(_masked(feats, valid), x_src, slot_tap, g)
     return (
         d_feats.astype(feats.dtype),
         d_weight.astype(weight.dtype),
@@ -206,13 +190,13 @@ def _scatter_add_rows(out, idx, rows):
 
 
 def _slots2_raw(feats, weight, s1, t1, idx, s2, t2, valid):
-    from .pallas.slotconv import slot_apply
+    from .pallas.bandmm import slot_conv_apply
 
     padded = _pad_zero_row(feats)
     x1 = jnp.take(padded, s1, axis=0)  # (h_lo, V, Ci)
-    out = slot_apply(x1, t1, weight) + _slot_center(feats, weight[13], valid)
+    out = slot_conv_apply(_masked(feats, valid), x1, t1, weight)
     x2 = jnp.take(padded, s2, axis=0)  # (H2, Vh, Ci)
-    o2 = slot_apply(x2, t2, weight)  # (Vh, Co)
+    o2 = slot_conv_apply(None, x2, t2, weight, tap_lo=s1.shape[0])  # (Vh, Co)
     return _scatter_add_rows(out, idx, o2), x1, x2
 
 
@@ -227,29 +211,24 @@ def _subm_slots2_fwd(feats, weight, s1, t1, idx, s2, t2, valid):
 
 
 def _subm_slots2_bwd(res, g):
-    from .pallas.slotconv import slot_apply, slot_dw
+    from .pallas.bandmm import slot_conv_apply, slot_conv_dw
 
     x1, x2, feats, weight, s1, t1, idx, s2, t2, valid = res
     g = g.astype(feats.dtype)
     w_flip = weight[::-1].swapaxes(1, 2)
     g_pad = _pad_zero_row(g)
+    h_lo = s1.shape[0]
     # adjoint conv through the same split tables (cf. _subm_slots_bwd)
     g1 = jnp.take(g_pad, s1, axis=0)
-    d_feats = slot_apply(g1, t1, w_flip) + _slot_center(g, weight[13].T, valid)
+    d_feats = slot_conv_apply(_masked(g, valid), g1, t1, w_flip)
     g2 = jnp.take(g_pad, s2, axis=0)
-    d2 = slot_apply(g2, t2, w_flip)  # (Vh, Ci)
+    d2 = slot_conv_apply(None, g2, t2, w_flip, tap_lo=h_lo)  # (Vh, Ci)
     d_feats = _scatter_add_rows(d_feats, idx, d2)
 
     g_hi = jnp.take(g_pad, idx, axis=0)  # (Vh, Co)
-    d_weight = slot_dw(x1, t1, g) + slot_dw(x2, t2, g_hi)
-    ctr = jnp.where(valid[:, None], feats, jnp.zeros_like(feats))
-    dw13 = jax.lax.dot_general(
-        ctr, g,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_precision(feats.dtype),
+    d_weight = slot_conv_dw(_masked(feats, valid), x1, t1, g) + slot_conv_dw(
+        None, x2, t2, g_hi, tap_lo=h_lo
     )
-    d_weight = d_weight.at[13].add(dw13)
     return (
         d_feats.astype(feats.dtype),
         d_weight.astype(weight.dtype),
@@ -352,13 +331,13 @@ _down_apply.defvjp(_down_fwd, _down_bwd)
 # with heavy parents routed through the compacted exact table.
 
 def _down_slots_raw(fine_feats, weight, s1, t1, idx, s2, t2):
-    from .pallas.slotconv import slot_apply
+    from .pallas.bandmm import slot_conv_apply
 
     padded = _pad_zero_row(fine_feats)
     x1 = jnp.take(padded, s1, axis=0)  # (h_lo, Vc, Ci)
-    out = slot_apply(x1, t1, weight)
+    out = slot_conv_apply(None, x1, t1, weight)
     x2 = jnp.take(padded, s2, axis=0)  # (h2, Vh, Ci)
-    o2 = slot_apply(x2, t2, weight)
+    o2 = slot_conv_apply(None, x2, t2, weight, tap_lo=s1.shape[0])
     return _scatter_add_rows(out, idx, o2), x1, x2
 
 
@@ -373,7 +352,7 @@ def _down_slots_fwd(fine_feats, weight, s1, t1, idx, s2, t2, parent, off_id):
 
 
 def _down_slots_bwd(res, g):
-    from .pallas.slotconv import slot_dw
+    from .pallas.bandmm import slot_conv_dw
 
     x1, x2, weight, t1, idx, t2, parent, off_id = res
     g = g.astype(x1.dtype)
@@ -383,7 +362,8 @@ def _down_slots_bwd(res, g):
     )
     g_hi = jnp.take(_pad_zero_row(g), idx, axis=0)  # (Vh, Co)
     d_weight = (
-        slot_dw(x1, t1, g, k_taps=8) + slot_dw(x2, t2, g_hi, k_taps=8)
+        slot_conv_dw(None, x1, t1, g, k_taps=8)
+        + slot_conv_dw(None, x2, t2, g_hi, k_taps=8, tap_lo=t1.shape[0])
     ).astype(weight.dtype)
     return (d_fine, d_weight, _int_zero(t1), _int_zero(t1), _int_zero(idx),
             _int_zero(t2), _int_zero(t2), _int_zero(parent), _int_zero(off_id))
@@ -458,7 +438,7 @@ def _up_slots_fwd(coarse_feats, weight, parent, off_id, s1, t1, idx, s2, t2):
 
 
 def _up_slots_bwd(res, g):
-    from .pallas.slotconv import slot_apply
+    from .pallas.bandmm import slot_conv_apply
 
     coarse_feats, weight, parent, off_id, s1, t1, idx, s2, t2 = res
     g = g.astype(coarse_feats.dtype)
@@ -466,10 +446,10 @@ def _up_slots_bwd(res, g):
     w_t = weight.swapaxes(1, 2)
     g_pad = _pad_zero_row(g)
     g1 = jnp.take(g_pad, s1, axis=0)  # (h_lo, Vc, Co)
-    d_coarse = slot_apply(g1, t1, w_t)
+    d_coarse = slot_conv_apply(None, g1, t1, w_t)
     g2 = jnp.take(g_pad, s2, axis=0)
     d_coarse = _scatter_add_rows(
-        d_coarse, idx, slot_apply(g2, t2, w_t)
+        d_coarse, idx, slot_conv_apply(None, g2, t2, w_t, tap_lo=t1.shape[0])
     ).astype(coarse_feats.dtype)
     # d_weight[k] = sum over fine rows with off_id==k of coarse[parent] x g
     vc = coarse_feats.shape[0]

@@ -42,3 +42,78 @@ def test_tapsum_dispatch_fallback(rng):
     out = T.tapsum(g, w)
     ref = T._xla_tapsum(g, w, jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_bandmm_apply_kernel_matches_xla(rng):
+    """The banded-matmul conv kernel (interpreter mode) vs the XLA form."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    from mm2d3d_tpu.ops.pallas import bandmm as B
+
+    h, v, ci, co, k = 5, 1024, 16, 16, 27
+    xm = jnp.asarray(rng.randn(v, ci).astype(np.float32))
+    x_src = jnp.asarray(rng.randn(h, v, ci).astype(np.float32))
+    # taps respect the ascending-slot invariant: tap[h] >= h, never 13
+    tap = np.full((h, v), B.MISS_TAP, np.int32)
+    for hh in range(h):
+        t = rng.randint(hh, 27, size=v)
+        t[t == 13] = 14
+        miss = rng.rand(v) < 0.4
+        t[miss] = B.MISS_TAP
+        tap[hh] = t
+    tap = jnp.asarray(tap)
+    w = jnp.asarray(rng.randn(k, ci, co).astype(np.float32) * 0.1)
+
+    ref = B._apply_xla(xm, x_src, tap, w)
+    out_t = pl.pallas_call(
+        functools.partial(B._apply_kernel_t, k_taps=k, tap_lo=0,
+                          has_center=True, has_slots=True),
+        grid=(v // 512,),
+        in_specs=[
+            pl.BlockSpec((ci, 512), lambda i: (0, i)),
+            pl.BlockSpec((h, ci, 512), lambda i: (0, 0, i)),
+            pl.BlockSpec((h, 512), lambda i: (0, i)),
+            pl.BlockSpec((co, k * ci), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((co, 512), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((co, v), jnp.float32),
+        interpret=True,
+    )(xm.T, x_src.transpose(0, 2, 1), tap, w.reshape(k * ci, co).T)
+    np.testing.assert_allclose(np.asarray(out_t.T), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bandmm_dw_kernel_matches_xla(rng):
+    import functools
+    from jax.experimental import pallas as pl
+
+    from mm2d3d_tpu.ops.pallas import bandmm as B
+
+    h, v, ci, co, k = 3, 1024, 8, 8, 8
+    x_src = jnp.asarray(rng.randn(h, v, ci).astype(np.float32))
+    tap = np.full((h, v), k, np.int32)
+    for hh in range(h):
+        t = rng.randint(hh, k, size=v)
+        t[rng.rand(v) < 0.5] = k
+        tap[hh] = t
+    tap = jnp.asarray(tap)
+    g = jnp.asarray(rng.randn(v, co).astype(np.float32))
+
+    ref = B._dw_xla(None, x_src, tap, g, k)
+    out = pl.pallas_call(
+        functools.partial(B._dw_kernel_t, k_taps=k, tap_lo=0,
+                          has_center=False, has_slots=True),
+        grid=(v // 512,),
+        in_specs=[
+            pl.BlockSpec((h, ci, 512), lambda i: (0, 0, i)),
+            pl.BlockSpec((h, 512), lambda i: (0, i)),
+            pl.BlockSpec((co, 512), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((co, k * ci), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((co, k * ci), jnp.float32),
+        interpret=True,
+    )(x_src.transpose(0, 2, 1), tap, g.T)
+    np.testing.assert_allclose(np.asarray(out.T),
+                               np.asarray(ref).reshape(k * ci, co),
+                               rtol=1e-4, atol=1e-4)

@@ -196,24 +196,15 @@ def build_slots(nbr: jax.Array, num_slots: int):
 
     Returns: (slot_src (H, V) int32, slot_tap (H, V) int32, dropped () int32).
     """
-    from .pallas.bandmm import MISS_TAP
-
     v = nbr.shape[1]
-    h_caps = num_slots
-    src = [jnp.full((v,), v, jnp.int32) for _ in range(h_caps)]
-    tap = [jnp.full((v,), MISS_TAP, jnp.int32) for _ in range(h_caps)]
-    cnt = jnp.zeros((v,), jnp.int32)
-    for k in range(27):
-        if k == _offset_index(0, 0, 0):
-            continue
-        hit = nbr[k] < v
-        for h in range(h_caps):
-            sel = hit & (cnt == h)
-            src[h] = jnp.where(sel, nbr[k], src[h])
-            tap[h] = jnp.where(sel, k, tap[h])
-        cnt = cnt + hit.astype(jnp.int32)
-    dropped = jnp.sum(jnp.maximum(cnt - h_caps, 0))
-    return jnp.stack(src), jnp.stack(tap), dropped
+    center = _offset_index(0, 0, 0)
+    k_ids = [k for k in range(27) if k != center]
+    off = jnp.asarray(np.delete(np.arange(27), center), jnp.int32)
+    src, tap, cnt = _rank_slots(
+        jnp.take(nbr, off, axis=0), v, num_slots, 0, k_ids=k_ids
+    )
+    dropped = jnp.sum(jnp.maximum(cnt - num_slots, 0))
+    return src, tap, dropped
 
 
 
@@ -233,6 +224,41 @@ def _compact_indices(mask: jax.Array, cap: int, fill: int) -> jax.Array:
     )
 
 
+def _rank_slots(nbr_k: jax.Array, miss: int, num_slots: int, rank0: int,
+                k_ids: Optional[Sequence[int]] = None):
+    """Pack each column's hits into its first `num_slots` slots, vectorized.
+
+    `nbr_k`: (K, V) candidate table, `miss` marks an absent hit.  Instead of
+    the K x H chain of data-dependent 1-D selects (hundreds of tiny
+    sequential vector ops — measured ~4 ms per level at V=65k), compute
+    each hit's slot index directly as its exclusive prefix count along k
+    (`rank`, ONE 2-D cumsum), then extract slot h with a masked weighted
+    reduction over the k axis — a handful of wide (K, V) ops with no
+    dependency chain.
+
+    Returns (src (H, V), tap (H, V), cnt (V,)): slot h of column v holds the
+    (rank0 + h)-th hit in ascending-k order; `cnt` counts ALL hits (before
+    slot truncation).  Empty slots: src = miss, tap = K (or the true k id's
+    MISS value when `k_ids` maps rows to tap ids).
+    """
+    kk, v = nbr_k.shape
+    hit = nbr_k != miss
+    cnt = jnp.sum(hit.astype(jnp.int32), axis=0)
+    # exclusive prefix count of hits along k
+    rank = jnp.cumsum(hit.astype(jnp.int32), axis=0) - hit.astype(jnp.int32)
+    ids = jnp.asarray(
+        list(range(kk)) if k_ids is None else list(k_ids), jnp.int32
+    )[:, None]
+    miss_tap = kk if k_ids is None else int(max(k_ids)) + 1
+    src, tap = [], []
+    for h in range(num_slots):
+        m = (hit & (rank == rank0 + h)).astype(jnp.int32)  # (K, V)
+        found = jnp.sum(m, axis=0)  # 0 or 1
+        src.append(jnp.sum(nbr_k * m, axis=0) + (1 - found) * miss)
+        tap.append(jnp.sum(ids * m, axis=0) + (1 - found) * miss_tap)
+    return jnp.stack(src), jnp.stack(tap), cnt
+
+
 def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
     """Split-phase slot compaction: a dense `h_lo`-slot table for ALL voxels
     plus a compacted overflow table for the few voxels with more hits.
@@ -243,7 +269,8 @@ def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
     .default_slot_caps`).  The split form gathers `h_lo` rows/voxel in phase
     one and routes voxels with more hits through a `vh_cap`-row compacted
     phase-two table, so the common case is cheap AND the tail stays exact up
-    to `h_max` total hits per voxel.
+    to `h_max` total hits per voxel.  Slot extraction uses the vectorized
+    rank formulation (`_rank_slots`).
 
     Returns: (src1 (h_lo, V), tap1 (h_lo, V),
               idx_hi (vh_cap,) int32 — heavy-voxel rows, V = pad,
@@ -252,46 +279,25 @@ def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
     """
     v = nbr.shape[1]
     center = _offset_index(0, 0, 0)
+    k_ids = [k for k in range(27) if k != center]
+    off = jnp.asarray(np.delete(np.arange(27), center), jnp.int32)
+    nbr_off = jnp.take(nbr, off, axis=0)  # (26, V), center row removed
 
-    # phase 1: the h_lo-slot select chain over all V columns (same structure
-    # as build_slots, but only h_lo deep — the tail is handled compacted)
-    src1 = [jnp.full((v,), v, jnp.int32) for _ in range(h_lo)]
-    tap1 = [jnp.full((v,), 27, jnp.int32) for _ in range(h_lo)]
-    cnt = jnp.zeros((v,), jnp.int32)
-    for k in range(27):
-        if k == center:
-            continue
-        hit = nbr[k] < v
-        for h in range(h_lo):
-            sel = hit & (cnt == h)
-            src1[h] = jnp.where(sel, nbr[k], src1[h])
-            tap1[h] = jnp.where(sel, k, tap1[h])
-        cnt = cnt + hit.astype(jnp.int32)
+    # phase 1: the first h_lo hits of every column
+    src1, tap1, cnt = _rank_slots(nbr_off, v, h_lo, 0, k_ids=k_ids)
 
     # phase 2: compact the heavy columns FIRST (one row gather of nbr^T),
-    # then run the deep select chain on the small (Vh,)-wide table — the
-    # deep chain over all V columns is ~10x the phase-1 cost for <2% of
-    # voxels.
+    # then extract slots h_lo..h_max-1 on the small (Vh,)-wide table — the
+    # deep extraction over all V columns would cost ~10x phase 1 for <2%
+    # of voxels.
     heavy = cnt > h_lo
     idx_hi = _compact_indices(heavy, vh_cap, v)
     nbr_rows = jnp.concatenate(
-        [nbr.T, jnp.full((1, 27), v, jnp.int32)], 0
-    )  # (V + 1, 27)
-    nbr_hi = jnp.take(nbr_rows, idx_hi, axis=0).T  # (27, Vh)
+        [nbr_off.T, jnp.full((1, 26), v, jnp.int32)], 0
+    )  # (V + 1, 26)
+    nbr_hi = jnp.take(nbr_rows, idx_hi, axis=0).T  # (26, Vh)
 
-    h2 = h_max - h_lo
-    src2 = [jnp.full((vh_cap,), v, jnp.int32) for _ in range(h2)]
-    tap2 = [jnp.full((vh_cap,), 27, jnp.int32) for _ in range(h2)]
-    cnt_hi = jnp.zeros((vh_cap,), jnp.int32)
-    for k in range(27):
-        if k == center:
-            continue
-        hit = nbr_hi[k] < v
-        for h in range(h2):
-            sel = hit & (cnt_hi == h_lo + h)
-            src2[h] = jnp.where(sel, nbr_hi[k], src2[h])
-            tap2[h] = jnp.where(sel, k, tap2[h])
-        cnt_hi = cnt_hi + hit.astype(jnp.int32)
+    src2, tap2, _ = _rank_slots(nbr_hi, v, h_max - h_lo, h_lo, k_ids=k_ids)
 
     over_tail = jnp.sum(jnp.maximum(cnt - h_max, 0))
     # heavy voxels beyond the compaction capacity lose their phase-2 hits
@@ -301,8 +307,7 @@ def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
         0,
     )
     dropped = over_tail + jnp.sum(uncompacted)
-    return (jnp.stack(src1), jnp.stack(tap1), idx_hi, jnp.stack(src2),
-            jnp.stack(tap2), dropped)
+    return src1, tap1, idx_hi, src2, tap2, dropped
 
 
 def build_child_slots(child: jax.Array, vf: int, h_lo: int, vh_cap: int):
@@ -318,40 +323,20 @@ def build_child_slots(child: jax.Array, vf: int, h_lo: int, vh_cap: int):
               tap2, dropped () int32).
     """
     vc = child.shape[0]
-    src1 = [jnp.full((vc,), vf, jnp.int32) for _ in range(h_lo)]
-    tap1 = [jnp.full((vc,), 8, jnp.int32) for _ in range(h_lo)]
-    cnt = jnp.zeros((vc,), jnp.int32)
-    for k in range(8):
-        hit = child[:, k] < vf
-        for h in range(h_lo):
-            sel = hit & (cnt == h)
-            src1[h] = jnp.where(sel, child[:, k], src1[h])
-            tap1[h] = jnp.where(sel, k, tap1[h])
-        cnt = cnt + hit.astype(jnp.int32)
+    src1, tap1, cnt = _rank_slots(child.T, vf, h_lo, 0)
 
     heavy = cnt > h_lo
     idx_hi = _compact_indices(heavy, vh_cap, vc)
     child_pad = jnp.concatenate([child, jnp.full((1, 8), vf, jnp.int32)], 0)
     child_hi = jnp.take(child_pad, idx_hi, axis=0)  # (Vh, 8)
 
-    h2 = 8 - h_lo
-    src2 = [jnp.full((vh_cap,), vf, jnp.int32) for _ in range(h2)]
-    tap2 = [jnp.full((vh_cap,), 8, jnp.int32) for _ in range(h2)]
-    cnt_hi = jnp.zeros((vh_cap,), jnp.int32)
-    for k in range(8):
-        hit = child_hi[:, k] < vf
-        for h in range(h2):
-            sel = hit & (cnt_hi == h_lo + h)
-            src2[h] = jnp.where(sel, child_hi[:, k], src2[h])
-            tap2[h] = jnp.where(sel, k, tap2[h])
-        cnt_hi = cnt_hi + hit.astype(jnp.int32)
+    src2, tap2, _ = _rank_slots(child_hi.T, vf, 8 - h_lo, h_lo)
 
     uncompacted = jnp.where(
         heavy & (jnp.cumsum(heavy.astype(jnp.int32)) > vh_cap), cnt - h_lo, 0
     )
     dropped = jnp.sum(uncompacted)
-    return (jnp.stack(src1), jnp.stack(tap1), idx_hi, jnp.stack(src2),
-            jnp.stack(tap2), dropped)
+    return src1, tap1, idx_hi, src2, tap2, dropped
 
 
 def propagate_nbr(

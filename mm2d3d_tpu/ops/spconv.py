@@ -256,6 +256,20 @@ def subm_conv3(
       weight: (27, Cin, Cout), tap order = `hierarchy.OFFSETS_27`.
     Returns: (V, Cout) fp32.
     """
+    from .pallas.bandmm import _on_tpu
+
+    cin = feats.shape[-1]
+    if (
+        level.slot_src is not None
+        and cin % 8
+        and compute_dtype != jnp.float32
+        and _on_tpu()
+    ):
+        # sublane-align the input conv's 3 channels so the slot path runs
+        # in the Pallas kernel (zero rows in the weight change nothing)
+        pad = (-cin) % 8
+        feats = jnp.pad(feats, ((0, 0), (0, pad)))
+        weight = jnp.pad(weight, ((0, 0), (0, pad), (0, 0)))
     if level.slot_src2 is not None:
         return _subm_apply_slots2(
             feats.astype(compute_dtype), weight.astype(compute_dtype),

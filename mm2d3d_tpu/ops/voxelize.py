@@ -44,6 +44,12 @@ class VoxelGrid:
     p2v: jax.Array  # (P,) int32 in [0, V]; V = dump row
     counts: jax.Array  # (V,) int32 points per voxel
     full_scale: int = struct.field(pytree_node=False)
+    # The key-sort permutation and the voxel id per SORTED point (level-0
+    # grids only).  Lets `pool_features` run as gather-by-perm + SORTED
+    # segment sum instead of a point-order scatter-add — scatters are the
+    # slowest descriptor-bound op on this chip (~4x a gather row).
+    sort_perm: Optional[jax.Array] = None  # (P,) int32
+    seg_sorted: Optional[jax.Array] = None  # (P,) int32 in [0, V]
 
     @property
     def capacity(self) -> int:
@@ -158,9 +164,10 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     # Pin the table: its fields are read by many downstream consumers
     # (neighbor propagation, transitions, convs); without the barrier XLA's
     # fusion can re-run the cumsum/segment chain inside each of them.
-    key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts = (
+    key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts, seg = (
         jax.lax.optimization_barrier(
-            (key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts)
+            (key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts,
+             seg)
         )
     )
 
@@ -174,13 +181,23 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
         p2v=p2v,
         counts=counts,
         full_scale=full_scale,
+        sort_perm=perm,
+        seg_sorted=None if perm is None else seg,
     )
 
 
 def pool_features(grid: VoxelGrid, feats: jax.Array, mode: str = "mean") -> jax.Array:
     """Pool per-point features into voxel rows (InputLayer mode=4 -> "mean")."""
     v = grid.capacity
-    total = jax.ops.segment_sum(feats, grid.p2v, num_segments=v + 1)[:v]
+    if grid.sort_perm is not None:
+        # gather points into key order, then a SORTED segment sum — ~2x a
+        # point-order scatter-add (scatter rows cost ~4x gather rows)
+        fs = jnp.take(feats, grid.sort_perm, axis=0)
+        total = jax.ops.segment_sum(
+            fs, grid.seg_sorted, num_segments=v + 1, indices_are_sorted=True
+        )[:v]
+    else:
+        total = jax.ops.segment_sum(feats, grid.p2v, num_segments=v + 1)[:v]
     if mode == "sum":
         return total
     if mode == "mean":

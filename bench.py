@@ -35,6 +35,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the fwd+train graphs take minutes to
+    # compile cold over the tunneled backend; cached reruns start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mm2d3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from __graft_entry__ import _flagship_task
     from mm2d3d_tpu import native
     from mm2d3d_tpu.data.synthetic import make_batch

@@ -82,8 +82,15 @@ def mask_invalid(hi: jax.Array, lo: jax.Array, valid: jax.Array):
 
 
 def lexsort_pairs(hi: jax.Array, lo: jax.Array) -> jax.Array:
-    """Permutation sorting pair keys lexicographically ((hi, lo) ascending)."""
-    return jnp.lexsort((lo, hi))
+    """Permutation sorting pair keys lexicographically ((hi, lo) ascending).
+
+    ONE `lax.sort` pass with num_keys=2 (the comparator reads both keys)
+    instead of jnp.lexsort's two chained stable sorts — sorts are ~1.3 ms
+    at the flagship point count, so the second pass is worth removing.
+    """
+    iota = jnp.arange(hi.shape[0], dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((hi, lo, iota), num_keys=2, is_stable=True)
+    return perm
 
 
 def pairs_less(hi_a, lo_a, hi_b, lo_b):

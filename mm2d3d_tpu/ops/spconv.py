@@ -22,6 +22,8 @@ recast for TPU:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -305,36 +307,57 @@ def _up_apply_raw(coarse_feats, weight, parent, off_id):
     return jnp.take(taps, flat_idx, axis=0)
 
 
-@jax.custom_vjp
-def _down_apply(fine_feats, weight, child_t, parent, off_id):
-    return _tap_gather_matmul(fine_feats, child_t, weight)
+def _down_seg_raw(fine_feats, weight, parent, off_id, vc):
+    """out[c] = sum_{f in children(c)} fine[f] @ weight[off_id[f]].
+
+    The fine table is Morton-sorted, so `parent` is nondecreasing (invalid
+    rows on the trailing dump segment): the whole strided conv is 8 batched
+    matmuls, a tap select, and ONE sorted segment-sum — zero gathers and
+    zero scatters (the gather formulation paid 8 descriptor-bound rows per
+    parent; ~1.6 ms/fwd over the hierarchy at the flagship size).
+    """
+    taps = jax.lax.dot_general(
+        jnp.broadcast_to(fine_feats, (8,) + fine_feats.shape), weight,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_precision(fine_feats.dtype),
+    )  # (8, Vf, Co)
+    onehot = jax.nn.one_hot(off_id, 8, dtype=taps.dtype)  # (Vf, 8)
+    y = jnp.einsum("kvc,vk->vc", taps, onehot)
+    return jax.ops.segment_sum(
+        y, parent, num_segments=vc + 1, indices_are_sorted=True
+    )[:vc]
 
 
-def _down_fwd(fine_feats, weight, child_t, parent, off_id):
-    from .pallas.tapsum import tapsum
+def _down_dw(fine_feats, off_id, gp):
+    """d_weight[k] = sum over fine rows with off_id==k of fine x g[parent]."""
+    onehot = jax.nn.one_hot(off_id, 8, dtype=fine_feats.dtype)  # (Vf, 8)
+    return jnp.einsum(
+        "vk,vc,vd->kcd", onehot, fine_feats, gp,
+        precision=_precision(fine_feats.dtype),
+    )
 
-    # gather once, keep for the weight gradient (see _subm_fwd)
-    padded = _pad_zero_row(fine_feats)
-    gathered = jnp.take(padded, child_t, axis=0)  # (8, Vc, Cin)
-    out = tapsum(gathered, weight)
-    return out, (gathered, weight, child_t, parent, off_id)
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _down_apply(fine_feats, weight, parent, off_id, vc):
+    return _down_seg_raw(fine_feats, weight, parent, off_id, vc)
 
 
-def _down_bwd(res, g):
-    gathered, weight, child_t, parent, off_id = res
-    g = g.astype(gathered.dtype)
+def _down_fwd(fine_feats, weight, parent, off_id, vc):
+    out = _down_seg_raw(fine_feats, weight, parent, off_id, vc)
+    return out, (fine_feats, weight, parent, off_id)
+
+
+def _down_bwd(vc, res, g):
+    fine_feats, weight, parent, off_id = res
+    g = g.astype(fine_feats.dtype)
     # transpose of down conv = deconv through (parent, off_id)
     d_fine = _up_apply_raw(g, weight.swapaxes(1, 2), parent, off_id).astype(
-        gathered.dtype
+        fine_feats.dtype
     )
-    d_weight = jax.lax.dot_general(
-        gathered, g,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_precision(gathered.dtype),
-    ).astype(weight.dtype)
-    return (d_fine, d_weight, _int_zero(child_t), _int_zero(parent),
-            _int_zero(off_id))
+    gp = jnp.take(_pad_zero_row(g), jnp.minimum(parent, vc), axis=0)
+    d_weight = _down_dw(fine_feats, off_id, gp).astype(weight.dtype)
+    return (d_fine, d_weight, _int_zero(parent), _int_zero(off_id))
 
 
 _down_apply.defvjp(_down_fwd, _down_bwd)
@@ -404,38 +427,34 @@ def down_conv2(
         )
     return _down_apply(
         fine_feats.astype(compute_dtype), weight.astype(compute_dtype),
-        trans.child.T, trans.parent, trans.off_id,
+        trans.parent, trans.off_id, trans.child.shape[0],
     )
 
 
 @jax.custom_vjp
-def _up_apply(coarse_feats, weight, parent, off_id, child_t):
+def _up_apply(coarse_feats, weight, parent, off_id):
     return _up_apply_raw(coarse_feats, weight, parent, off_id)
 
 
-def _up_fwd(coarse_feats, weight, parent, off_id, child_t):
-    out = _up_apply(coarse_feats, weight, parent, off_id, child_t)
-    return out, (coarse_feats, weight, parent, off_id, child_t)
+def _up_fwd(coarse_feats, weight, parent, off_id):
+    out = _up_apply(coarse_feats, weight, parent, off_id)
+    return out, (coarse_feats, weight, parent, off_id)
 
 
 def _up_bwd(res, g):
-    coarse_feats, weight, parent, off_id, child_t = res
-    g = g.astype(coarse_feats.dtype)
-    # transpose of deconv = down conv through the child map
-    d_coarse = _tap_gather_matmul(g, child_t, weight.swapaxes(1, 2)).astype(
-        coarse_feats.dtype
-    )
-    # d_weight[k] = sum over fine rows with off_id==k of coarse[parent] x g
+    coarse_feats, weight, parent, off_id = res
     vc = coarse_feats.shape[0]
+    g = g.astype(coarse_feats.dtype)
+    # transpose of deconv = down conv through (parent, off_id): the same
+    # sorted segment-sum as _down_seg_raw (zero gathers/scatters)
+    d_coarse = _down_seg_raw(
+        g, weight.swapaxes(1, 2), parent, off_id, vc
+    ).astype(coarse_feats.dtype)
+    # d_weight[k] = sum over fine rows with off_id==k of coarse[parent] x g
     padded = _pad_zero_row(coarse_feats)
     gp = jnp.take(padded, jnp.minimum(parent, vc), axis=0)  # (Vf, Cin)
-    onehot = jax.nn.one_hot(off_id, 8, dtype=gp.dtype)  # (Vf, 8)
-    d_weight = jnp.einsum(
-        "vk,vc,vd->kcd", onehot, gp, g,
-        precision=_precision(coarse_feats.dtype),
-    ).astype(weight.dtype)
-    return (d_coarse, d_weight, _int_zero(parent), _int_zero(off_id),
-            _int_zero(child_t))
+    d_weight = _down_dw(gp, off_id, g).astype(weight.dtype)
+    return (d_coarse, d_weight, _int_zero(parent), _int_zero(off_id))
 
 
 _up_apply.defvjp(_up_fwd, _up_bwd)
@@ -500,7 +519,7 @@ def up_conv2(
         )
     return _up_apply(
         coarse_feats.astype(compute_dtype), weight.astype(compute_dtype),
-        trans.parent, trans.off_id, trans.child.T,
+        trans.parent, trans.off_id,
     )
 
 

@@ -113,9 +113,15 @@ def default_slot_caps(
     over the observed per-level maxima; ``vh_cap`` 4-8x over the observed
     heavy-voxel counts.
 
-    Deepest levels keep the dense 27-tap path: V shrinks while hit counts
-    (hence H) grow, and the slot kernel's VPU tap dispatch overtakes the
-    gather rows it saves.
+    All levels use split slots (round-2 recalibration; measured per-level
+    hit histograms over seeds: L0 mean 2.4 max 13, L1 mean 3.0 max 17,
+    L2 3.2/17, L3 3.9/18, L4 4.3/18, L5 5.3/15, L6 5.6/14; heavy-voxel
+    counts (cnt > h_lo): L0 <=1.3k, L1 <=3.1k, L2 <=0.9k, L3 <=0.6k,
+    L4 <=0.4k, L5/L6 <=0.4k).  h_max = 26 from L3 down — the phase-2
+    width is cheap there (small vh_cap) and 26 off-center taps is the
+    structural maximum, so NOTHING can ever be tail-dropped; at L0-L2
+    h_max keeps >=1.4x margin over the observed maxima.  vh_cap carries
+    2.5-5x headroom over observed heavy counts.
 
     `GridLevel.slot_overflow` (logged as train/nbr_slot_overflow and in
     eval logs) monitors that h_max/vh_cap never bind.  IMPORTANT: a
@@ -126,17 +132,20 @@ def default_slot_caps(
     forward.  Treat sustained overflow as a config error and raise the
     caps.
     """
+    # (h_lo, h_max, vh_cap numerator/64 of V)
+    plan = {
+        0: (6, 18, 4),  # vh = V/16 = 4096 at the flagship size
+        1: (6, 20, 12),  # vh = 3V/16 = 7680
+        2: (8, 26, 11),  # vh = 4096 (v=24576)
+        3: (8, 26, 12),  # vh = 3072
+        4: (8, 26, 16),  # vh = 2048
+        5: (10, 26, 16),  # vh = 1024
+    }
     specs = []
     for l in range(num_levels):
         v = capacities[l] if capacities is not None else 1 << 16
-        if l == 0:
-            specs.append((6, 18, max(256, v // 8)))
-        elif l == 1:
-            specs.append((6, 22, max(256, v // 4)))
-        elif l == 2:
-            specs.append((8, 24, max(256, v // 4)))
-        else:
-            specs.append(None)  # dense path
+        h_lo, h_max, num = plan.get(l, (10, 26, 16))
+        specs.append((h_lo, h_max, max(256, v * num // 64)))
     return tuple(specs)
 
 

@@ -332,13 +332,13 @@ def test_child_slot_down_up_conv_match_dense(rng):
         return jnp.sum(down_conv2(f, trans, ww, compute_dtype=jnp.float32) * gc)
 
     def loss_dense(f, ww):
-        return jnp.sum(_down_apply(f, ww, trans.child.T, trans.parent, trans.off_id) * gc)
+        return jnp.sum(_down_apply(f, ww, trans.parent, trans.off_id, vc) * gc)
 
     np.testing.assert_allclose(
         np.asarray(down_conv2(jnp.asarray(feats), trans, jnp.asarray(w),
                               compute_dtype=jnp.float32)),
         np.asarray(_down_apply(jnp.asarray(feats), jnp.asarray(w),
-                               trans.child.T, trans.parent, trans.off_id)),
+                               trans.parent, trans.off_id, vc)),
         rtol=1e-4, atol=1e-4)
     gs = jax.grad(loss_slot, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(w))
     gd = jax.grad(loss_dense, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(w))
@@ -356,13 +356,13 @@ def test_child_slot_down_up_conv_match_dense(rng):
 
     def uloss_dense(f, ww):
         from mm2d3d_tpu.ops.spconv import _up_apply
-        return jnp.sum(_up_apply(f, ww, trans.parent, trans.off_id, trans.child.T) * gf)
+        return jnp.sum(_up_apply(f, ww, trans.parent, trans.off_id) * gf)
 
     np.testing.assert_allclose(
         np.asarray(up_conv2(jnp.asarray(cfeats), trans, jnp.asarray(wu),
                             compute_dtype=jnp.float32)),
         np.asarray(_up_apply(jnp.asarray(cfeats), jnp.asarray(wu),
-                             trans.parent, trans.off_id, trans.child.T)),
+                             trans.parent, trans.off_id)),
         rtol=1e-4, atol=1e-4)
     gs = jax.grad(uloss_slot, argnums=(0, 1))(jnp.asarray(cfeats), jnp.asarray(wu))
     gd = jax.grad(uloss_dense, argnums=(0, 1))(jnp.asarray(cfeats), jnp.asarray(wu))

@@ -467,26 +467,13 @@ def _coarsen_grid(grid: VoxelGrid, capacity: Optional[int] = None):
     rel = grid.coords & 1
     off_id = rel[:, 0] * 4 + rel[:, 1] * 2 + rel[:, 2]
 
-    # Scatter-free child table.  The fine table is Morton-sorted, so one
-    # parent's children occupy a CONTIGUOUS row range, ordered by off_id
-    # (off_id = the low interleaved bits = the in-segment sort key); and
-    # `parent` is itself sorted (invalid rows last, on the dump segment).
-    # So child[c, o] = start[c] + |{o' < o present}| — sorted segment ops
-    # and a (Vc, 8) cumsum replace the (Vf,)-row scatter (scatters cost
-    # ~4x gather rows on this chip; this was ~1.6 ms/step over the
-    # hierarchy at the flagship size).
-    rows_f = jnp.arange(vf, dtype=jnp.int32)
-    occ = jax.ops.segment_sum(
-        jax.nn.one_hot(off_id, 8, dtype=jnp.int32),
-        parent, num_segments=vc + 1, indices_are_sorted=True,
-    )[:vc]  # (Vc, 8) 0/1
-    start = jax.ops.segment_min(
-        rows_f, parent, num_segments=vc + 1, indices_are_sorted=True
-    )[:vc]  # (Vc,) int32 (vf on empty segments)
-    pos = jnp.cumsum(occ, axis=1) - occ  # exclusive prefix over octants
-    child = jnp.where(
-        (occ > 0) & (start[:, None] < vf), start[:, None] + pos, vf
-    ).astype(jnp.int32)
+    # NB: a "scatter-free" segment formulation of this table (child[c, o]
+    # = start[c] + prefix of octant occupancy, exploiting Morton
+    # contiguity) measured SLOWER in-graph: segment_sum/segment_min lower
+    # to scatters too, and it needs two of them plus a (Vc, 8) cumsum vs
+    # this single narrow scatter.
+    child = jnp.full((vc + 1, 8), vf, jnp.int32)
+    child = child.at[parent, off_id].set(jnp.arange(vf, dtype=jnp.int32))[:vc]
 
     trans = LevelTransition(parent=parent, off_id=off_id, child=child)
     return grid_c, trans

@@ -47,6 +47,7 @@ class Loader:
         num_workers: int = 0,
         num_shards: int = 1,
         shard_id: int = 0,
+        full_scale: Optional[int] = 4096,
     ):
         """`batch_size` is the PER-PROCESS batch.  With `num_shards` > 1
         (multi-host training: one process per host), every process samples
@@ -62,6 +63,8 @@ class Loader:
         self.num_workers = num_workers
         self.num_shards = num_shards
         self.shard_id = shard_id
+        # host-side Morton sort scale (None disables; see data.base.collate)
+        self.full_scale = full_scale
         self.epoch = 0
         self._pool = None
 
@@ -114,13 +117,13 @@ class Loader:
                     )
                     for i in idxs
                 ]
-                yield collate(samples, self.n_points)
+                yield collate(samples, self.n_points, full_scale=self.full_scale)
         else:
             args = [(int(i), self._sample_seed(int(i))) for b in batches for i in b]
             it = pool.imap(_worker_get, args, chunksize=1)
             for idxs in batches:
                 samples = [next(it) for _ in idxs]
-                yield collate(samples, self.n_points)
+                yield collate(samples, self.n_points, full_scale=self.full_scale)
 
     def iterate(self, num_iterations: int) -> Iterator[PointBatch]:
         """Yield exactly `num_iterations` batches, cycling epochs with

@@ -49,6 +49,7 @@ def load_datamodule(
     reduce_factor: int = 1,
     num_shards: int = 1,
     shard_id: int = 0,
+    full_scale: int = 4096,
 ) -> DataModule:
     """Build the four datasets + loaders for a UDA scenario.
 
@@ -155,7 +156,8 @@ def load_datamodule(
         raise ValueError(f"unknown datamodule {name!r}")
 
     test_bs = test_batch_size or batch_size
-    shard_kw = dict(num_shards=num_shards, shard_id=shard_id)
+    shard_kw = dict(num_shards=num_shards, shard_id=shard_id,
+                    full_scale=full_scale)
     # NB multi-host (num_shards > 1): val/test loaders shard too and drop
     # the tail partial batch (collectives need equal per-process batches);
     # single-host evaluates every scan.

@@ -101,6 +101,17 @@ def make_batch(
     for i in range(b):
         seg_labels_2d[i, img_indices[i, :, 0], img_indices[i, :, 1]] = seg_label[i]
 
+    # host-side Morton sort per sample (the loaders' collate layout) so the
+    # device voxelizer takes its sort-free path
+    from .base import morton_sort_perm
+
+    point_perm = np.zeros((b, n), np.int32)
+    for i in range(b):
+        perm = morton_sort_perm(coords[i], point_mask[i], full_scale)
+        point_perm[i] = perm
+        for arr in (coords, img_indices, feats, seg_label, point_mask):
+            arr[i] = arr[i][perm]
+
     return PointBatch(
         img=img,
         depth=depth,
@@ -110,4 +121,6 @@ def make_batch(
         seg_label=seg_label,
         point_mask=point_mask,
         seg_labels_2d=seg_labels_2d,
+        point_perm=point_perm,
+        coords_sorted=True,
     )

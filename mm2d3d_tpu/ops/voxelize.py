@@ -62,6 +62,7 @@ def voxelize(
     valid: jax.Array,
     full_scale: int,
     capacity: Optional[int] = None,
+    presorted: bool = False,
 ) -> VoxelGrid:
     """Deduplicate integer coords into a sorted voxel table.
 
@@ -73,6 +74,15 @@ def voxelize(
       capacity: number of voxel rows (default P).  Must be >= the true number
         of unique voxels; excess unique voxels beyond capacity are dropped
         (their points map to the dump row).
+      presorted: points are ALREADY (batch, morton)-sorted with each
+        sample's invalid/out-of-range points at its tail (the loaders'
+        host-side `data.base.morton_sort_perm` layout).  Skips the device
+        sort and the p2v inversion scatter (~2.5 ms/step at the flagship
+        size); mode-4 pooling also drops its permutation gather.
+        Per-sample invalid RUNS between samples are fine (keys never
+        repeat across the run), but an invalid point BETWEEN two equal
+        keys of one sample would split that voxel — the host layout rules
+        this out.
     """
     p = coords.shape[0]
 
@@ -82,6 +92,10 @@ def voxelize(
     hi, lo = K.pack(coords, batch, full_scale)
     hi, lo = K.mask_invalid(hi, lo, valid)
 
+    if presorted:
+        return _dedup(
+            hi, lo, coords, full_scale, capacity, perm=None, with_counts=True
+        )
     perm = K.lexsort_pairs(hi, lo)
     return _dedup(
         hi[perm], lo[perm], coords[perm], full_scale, capacity, perm=perm
@@ -182,17 +196,25 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
         counts=counts,
         full_scale=full_scale,
         sort_perm=perm,
-        seg_sorted=None if perm is None else seg,
+        # with_counts marks level-0 use: keep the sorted segment ids so
+        # mode-4 pooling can run as a SORTED segment sum (presorted inputs
+        # need no permutation gather at all)
+        seg_sorted=seg if (perm is not None or with_counts) else None,
     )
 
 
 def pool_features(grid: VoxelGrid, feats: jax.Array, mode: str = "mean") -> jax.Array:
     """Pool per-point features into voxel rows (InputLayer mode=4 -> "mean")."""
     v = grid.capacity
-    if grid.sort_perm is not None:
-        # gather points into key order, then a SORTED segment sum — ~2x a
-        # point-order scatter-add (scatter rows cost ~4x gather rows)
-        fs = jnp.take(feats, grid.sort_perm, axis=0)
+    if grid.seg_sorted is not None:
+        # SORTED segment sum — ~2x a point-order scatter-add (scatter rows
+        # cost ~4x gather rows).  Presorted grids (sort_perm None) skip the
+        # permutation gather too: points already sit in key order.
+        fs = (
+            feats
+            if grid.sort_perm is None
+            else jnp.take(feats, grid.sort_perm, axis=0)
+        )
         total = jax.ops.segment_sum(
             fs, grid.seg_sorted, num_segments=v + 1, indices_are_sorted=True
         )[:v]

@@ -127,6 +127,7 @@ def build_datamodule(cfg: Dict, num_shards: int = 1, shard_id: int = 0):
         seed=cfg["train"].get("seed", 42),
         num_shards=num_shards,
         shard_id=shard_id,
+        full_scale=cfg["models"]["net3d"]["backbone_3d"].get("full_scale", 4096),
     )
 
 

@@ -111,7 +111,17 @@ def generate(cfg: Dict, ckpt_name: str, out_path: str) -> List[Dict]:
                 "slot-table cap — pseudo labels are approximate; raise "
                 "default_slot_caps"
             )
-        out = jax.tree_util.tree_map(lambda x: np.asarray(x[0][:kept]), raw)
+        # collate Morton-sorts points host-side; restore scan order via the
+        # recorded permutation before slicing the kept rows
+        perm = np.asarray(batch.point_perm[0])
+
+        def unsort(x):
+            x = np.asarray(x[0])
+            orig = np.empty_like(x)
+            orig[perm] = x
+            return orig[:kept]
+
+        out = jax.tree_util.tree_map(unsort, raw)
         rec = {}
         for key in ("2d", "3d", "ensemble"):
             probs = np.zeros(full, np.float32)  # dropped points: prob 0 ->

@@ -38,6 +38,11 @@ class PointBatch:
     pseudo_label_2d: Optional[jax.Array] = None  # (B, N) int32
     pseudo_label_3d: Optional[jax.Array] = None  # (B, N) int32
     pseudo_label_ensemble: Optional[jax.Array] = None  # (B, N) int32
+    point_perm: Optional[jax.Array] = None  # (B, N) int32 original index of
+    # each (host-)Morton-sorted row; only consumers restoring scan order use it
+    coords_sorted: bool = struct.field(pytree_node=False, default=False)
+    # True when the loader pre-sorted each sample's points by Morton key
+    # (data.base.morton_sort_perm) — lets voxelize skip its device sort
 
     @property
     def batch_size(self) -> int:
@@ -169,7 +174,10 @@ def build_topology(
         )
     if slot_caps == "default":
         slot_caps = default_slot_caps(num_levels, capacities)
-    grid = voxelize(coords, bidx, mask, full_scale, capacity=capacities[0])
+    grid = voxelize(
+        coords, bidx, mask, full_scale, capacity=capacities[0],
+        presorted=batch.coords_sorted,
+    )
     hier = build_hierarchy(
         grid, num_levels, capacities=capacities, slot_caps=slot_caps,
         num_batches=batch.batch_size,

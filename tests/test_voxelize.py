@@ -112,3 +112,80 @@ def test_capacity_overflow_drops_extras(rng):
     assert int(grid.num_voxels) == 16
     p2v = np.asarray(grid.p2v)
     assert np.sum(p2v == 16) == p - 16  # overflow points -> dump row
+
+
+def test_presorted_voxelize_matches_sorted(rng):
+    """voxelize(presorted=True) on host-Morton-sorted samples == the
+    device-sorted path on the same (unsorted) points, table for table."""
+    from mm2d3d_tpu.data.base import morton_sort_perm
+
+    b, n, fs = 3, 256, 64
+    coords = rng.randint(0, fs, size=(b, n, 3)).astype(np.int32)
+    valid = rng.rand(b, n) < 0.85
+    # host layout: per-sample morton sort, invalid at tails
+    sc = np.empty_like(coords)
+    sv = np.zeros_like(valid)
+    for i in range(b):
+        perm = morton_sort_perm(coords[i], valid[i], fs)
+        sc[i] = coords[i][perm]
+        sv[i] = valid[i][perm]
+    bidx = np.repeat(np.arange(b, dtype=np.int32), n)
+
+    g_ref = voxelize(jnp.asarray(coords.reshape(-1, 3)), jnp.asarray(bidx),
+                     jnp.asarray(valid.reshape(-1)), fs)
+    g_pre = voxelize(jnp.asarray(sc.reshape(-1, 3)), jnp.asarray(bidx),
+                     jnp.asarray(sv.reshape(-1)), fs, presorted=True)
+    assert int(g_ref.num_voxels) == int(g_pre.num_voxels)
+    for field in ("key_hi", "key_lo", "coords", "batch", "valid", "counts"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g_ref, field)), np.asarray(getattr(g_pre, field)),
+            err_msg=field)
+    # p2v maps each (permuted) point to the same voxel key
+    k_ref = np.asarray(g_ref.key_lo)
+    p2v_ref = np.asarray(g_ref.p2v).reshape(b, n)
+    p2v_pre = np.asarray(g_pre.p2v).reshape(b, n)
+    for i in range(b):
+        perm = morton_sort_perm(coords[i], valid[i], fs)
+        np.testing.assert_array_equal(p2v_ref[i][perm], p2v_pre[i])
+    # mode-4 pooling agrees (the presorted grid pools without any gather)
+    feats = rng.randn(b, n, 3).astype(np.float32)
+    sf = np.stack([feats[i][morton_sort_perm(coords[i], valid[i], fs)]
+                   for i in range(b)])
+    f_ref = pool_features(g_ref, jnp.asarray(feats.reshape(-1, 3)))
+    f_pre = pool_features(g_pre, jnp.asarray(sf.reshape(-1, 3)))
+    np.testing.assert_allclose(np.asarray(f_ref), np.asarray(f_pre),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_collate_sorts_and_records_perm(rng):
+    """collate(full_scale=...) Morton-sorts each sample and point_perm
+    restores the original order."""
+    from mm2d3d_tpu.data.base import collate
+
+    n_raw, n_pts, fs = 150, 256, 64
+    samples = []
+    for i in range(2):
+        samples.append(dict(
+            img=np.zeros((8, 8, 3), np.float32),
+            depth=np.zeros((8, 8), np.float32),
+            coords=rng.randint(0, fs, size=(n_raw, 3)).astype(np.int32),
+            img_indices=rng.randint(0, 8, size=(n_raw, 2)).astype(np.int32),
+            feats=rng.randn(n_raw, 3).astype(np.float32),
+            seg_label=rng.randint(0, 5, size=(n_raw,)).astype(np.int32),
+        ))
+    batch = collate(samples, n_pts, full_scale=fs)
+    assert batch.coords_sorted and batch.point_perm is not None
+    from mm2d3d_tpu.ops import keys as K
+
+    for i in range(2):
+        hi, lo = K.pack(jnp.asarray(batch.coords[i]),
+                        jnp.zeros((n_pts,), jnp.int32), fs)
+        hi = np.asarray(hi)[np.asarray(batch.point_mask[i])]
+        lo = np.asarray(lo)[np.asarray(batch.point_mask[i])]
+        keys = list(zip(hi.tolist(), lo.tolist()))
+        assert keys == sorted(keys), "valid rows not morton-sorted"
+        # perm restores the original arrays
+        perm = np.asarray(batch.point_perm[i])
+        orig = np.empty_like(np.asarray(batch.feats[i]))
+        orig[perm] = np.asarray(batch.feats[i])
+        np.testing.assert_array_equal(orig[:n_raw], samples[i]["feats"])

@@ -85,26 +85,6 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
-def _strided_max3(y: jax.Array, axis: int) -> jax.Array:
-    """max over 3 taps with stride 2 and padding 1 along `axis`."""
-    n = y.shape[axis]
-    out_n = (n + 1) // 2
-    pad = [(0, 0)] * y.ndim
-    pad[axis] = (1, 1)
-    fill = -jnp.inf if jnp.issubdtype(y.dtype, jnp.floating) else jnp.iinfo(y.dtype).min
-    yp = jnp.pad(y, pad, constant_values=fill)
-    taps = [
-        jax.lax.slice_in_dim(yp, d, d + 2 * out_n - 1, stride=2, axis=axis)
-        for d in range(3)
-    ]
-    return jnp.maximum(jnp.maximum(taps[0], taps[1]), taps[2])
-
-
-def _max_pool_3x3_s2(x: jax.Array) -> jax.Array:
-    """torch MaxPool2d(3, stride=2, padding=1) on NHWC, separable."""
-    return _strided_max3(_strided_max3(x, 1), 2)
-
-
 class ResNet34Encoder(nn.Module):
     """5-skip ResNet-34 with stride-1 stem (reference backbones.py:43-65).
 
@@ -131,11 +111,12 @@ class ResNet34Encoder(nn.Module):
         x = nn.relu(x)
         feats.append(x)  # stride 1, 64ch
 
-        # torch maxpool 3x3 s2 p1, as a separable strided shift-max: XLA's
-        # reduce_window lowering costs ~2.2 ms at full res on this chip vs
-        # ~0.3 ms for 5 slice+max ops (same finding as the heads' 5x5 avg
-        # pool, net2d._avg_pool_5x5)
-        x = _max_pool_3x3_s2(x)
+        # torch maxpool 3x3 s2 p1.  NB: a separable strided shift-max
+        # looked 7x cheaper STANDALONE (2.2 -> 0.3 ms) but cost +4.6 ms
+        # IN-GRAPH: the stride-2 slices along W defeat XLA's fusion/layout,
+        # while reduce_window fuses fine.  In-graph timings are what count
+        # (PERFORMANCE.md).
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
         for i, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):

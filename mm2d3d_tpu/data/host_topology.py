@@ -86,6 +86,40 @@ def _build_slots_split_np(nbr: np.ndarray, h_lo: int, h_max: int, vh_cap: int):
     return src1, tap1, idx_hi, src2, tap2, np.int32(dropped)
 
 
+def _tier_np(src, tap, cnt, v, h_from, h_to, cap):
+    """One compacted tier (voxels with cnt > h_from, slots [h_from, h_to))."""
+    heavy_rows = np.nonzero(cnt > h_from)[0]
+    idx = np.full(cap, v, np.int32)
+    take = heavy_rows[:cap]
+    idx[: len(take)] = take
+    s = np.full((h_to - h_from, cap), v, np.int32)
+    t = np.full((h_to - h_from, cap), 27, np.int32)
+    s[:, : len(take)] = src[h_from:h_to, take]
+    t[:, : len(take)] = tap[h_from:h_to, take]
+    un = 0
+    if len(heavy_rows) > cap:
+        extra = heavy_rows[cap:]
+        un = (np.minimum(cnt[extra], h_to) - h_from).sum()
+    return idx, s, t, int(un)
+
+
+def _build_slots_tiered_np(
+    nbr: np.ndarray, h1: int, h2: int, h_max: int, vm_cap: int, vh_cap: int
+):
+    """Numpy mirror of `ops.hierarchy.build_slots_tiered` (3-tier)."""
+    k, v = nbr.shape
+    src, tap, _ = _build_slots_np(nbr, h_max)
+    hit = nbr < v
+    hit[13] = False
+    cnt = hit.sum(0)
+
+    idxm, srcm, tapm, un_m = _tier_np(src, tap, cnt, v, h1, h2, vm_cap)
+    idxh, srch, taph, un_h = _tier_np(src, tap, cnt, v, h2, h_max, vh_cap)
+    dropped = np.maximum(cnt - h_max, 0).sum() + un_m + un_h
+    return (src[:h1], tap[:h1], idxm, srcm, tapm, idxh, srch, taph,
+            np.int32(dropped))
+
+
 def _build_child_slots_np(child: np.ndarray, vf: int, h_lo: int, vh_cap: int):
     """Numpy mirror of `ops.hierarchy.build_child_slots`."""
     vc = child.shape[0]
@@ -139,6 +173,15 @@ def build_topology_host(
              if slot_caps is not None and level_idx < len(slot_caps) else None)
         if not h:
             return {}
+        if isinstance(h, tuple) and len(h) == 5:
+            h1, h2, h_max, vm_cap, vh_cap = h
+            s1, t1, im, sm, tm, ih, sh, th, dropped = _build_slots_tiered_np(
+                nbr, h1, h2, h_max, min(vm_cap, level_cap),
+                min(vh_cap, level_cap),
+            )
+            return dict(slot_src=s1, slot_tap=t1, slot_overflow=dropped,
+                        slot_idxm=im, slot_srcm=sm, slot_tapm=tm,
+                        slot_idx=ih, slot_src2=sh, slot_tap2=th)
         if isinstance(h, tuple):
             h_lo, h_max, vh_cap = h
             s1, t1, idx, s2, t2, dropped = _build_slots_split_np(

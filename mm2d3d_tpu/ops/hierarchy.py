@@ -68,6 +68,14 @@ class GridLevel:
     slot_idx: Optional[jax.Array] = None  # (Vh,) int32 in [0, V]; V = pad
     slot_src2: Optional[jax.Array] = None  # (H2, Vh) int32 in [0, V]
     slot_tap2: Optional[jax.Array] = None  # (H2, Vh) int32
+    # Optional MIDDLE tier (`build_slots_tiered`, 3-tier form): hit counts
+    # are so skewed (mean ~2.4, p90 ~6, max ~18 at level 0) that two tiers
+    # still waste gather rows — tier 1 sized near the MEAN, a mid tier for
+    # the ~10-25% of voxels past it, and the hi tier for the far tail cuts
+    # conv gather rows ~40% vs the 2-tier split.
+    slot_idxm: Optional[jax.Array] = None  # (Vm,) int32 in [0, V]; V = pad
+    slot_srcm: Optional[jax.Array] = None  # (Hm, Vm) int32 in [0, V]
+    slot_tapm: Optional[jax.Array] = None  # (Hm, Vm) int32
 
     @property
     def capacity(self) -> int:
@@ -310,6 +318,61 @@ def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
     return src1, tap1, idx_hi, src2, tap2, dropped
 
 
+def _rank_slots_compacted(nbr_off, cnt, v, h_from, h_to, cap):
+    """Slots [h_from, h_to) for the voxels with more than h_from hits,
+    compacted to `cap` rows.  Returns (idx, src, tap, n_uncompacted)."""
+    heavy = cnt > h_from
+    idx = _compact_indices(heavy, cap, v)
+    nbr_rows = jnp.concatenate(
+        [nbr_off.T, jnp.full((1, nbr_off.shape[0]), v, jnp.int32)], 0
+    )  # (V + 1, K)
+    nbr_hi = jnp.take(nbr_rows, idx, axis=0).T  # (K, cap)
+    src, tap, _ = _rank_slots(
+        nbr_hi, v, h_to - h_from, h_from,
+        k_ids=[k for k in range(27) if k != _offset_index(0, 0, 0)],
+    )
+    uncompacted = jnp.where(
+        heavy & (jnp.cumsum(heavy.astype(jnp.int32)) > cap),
+        jnp.minimum(cnt, h_to) - h_from,
+        0,
+    )
+    return idx, src, tap, jnp.sum(uncompacted)
+
+
+def build_slots_tiered(
+    nbr: jax.Array, h1: int, h2: int, h_max: int, vm_cap: int, vh_cap: int
+):
+    """3-tier slot compaction: `h1` slots for ALL voxels (sized near the
+    MEAN hit count), slots [h1, h2) for the compacted mid tier (cnt > h1),
+    and slots [h2, h_max) for the compacted far tail (cnt > h2).
+
+    Same exactness contract as `build_slots_split` (its 2-tier special
+    case): hits drop only past h_max or past a tier's compaction capacity,
+    both monitored via the returned overflow counter.
+
+    Returns: (src1 (h1, V), tap1,
+              idxm (vm_cap,), srcm (h2 - h1, vm_cap), tapm,
+              idxh (vh_cap,), srch (h_max - h2, vh_cap), taph,
+              dropped () int32).
+    """
+    v = nbr.shape[1]
+    center = _offset_index(0, 0, 0)
+    k_ids = [k for k in range(27) if k != center]
+    off = jnp.asarray(np.delete(np.arange(27), center), jnp.int32)
+    nbr_off = jnp.take(nbr, off, axis=0)  # (26, V)
+
+    src1, tap1, cnt = _rank_slots(nbr_off, v, h1, 0, k_ids=k_ids)
+    idxm, srcm, tapm, un_m = _rank_slots_compacted(
+        nbr_off, cnt, v, h1, h2, vm_cap
+    )
+    idxh, srch, taph, un_h = _rank_slots_compacted(
+        nbr_off, cnt, v, h2, h_max, vh_cap
+    )
+    over_tail = jnp.sum(jnp.maximum(cnt - h_max, 0))
+    dropped = over_tail + un_m + un_h
+    return src1, tap1, idxm, srcm, tapm, idxh, srch, taph, dropped
+
+
 def build_child_slots(child: jax.Array, vf: int, h_lo: int, vh_cap: int):
     """Split-phase compaction of a (Vc, 8) child table (cf.
     `build_slots_split`, specialized to the strided conv's 8 taps).
@@ -550,7 +613,19 @@ def build_hierarchy(
     for l, (g, n) in enumerate(zip(grids, nbrs)):
         lev = _level_from_grid(g, nbr=n)
         h = slot_caps[l] if slot_caps is not None and l < len(slot_caps) else None
-        if isinstance(h, tuple):  # split-phase spec (h_lo, h_max, vh_cap)
+        if isinstance(h, tuple) and len(h) == 5:
+            # 3-tier spec (h1, h2, h_max, vm_cap, vh_cap)
+            h1, h2, h_max, vm_cap, vh_cap = h
+            s1, t1, im, sm, tm, ih, sh, th, dropped = build_slots_tiered(
+                n, h1, h2, h_max, min(vm_cap, g.capacity),
+                min(vh_cap, g.capacity),
+            )
+            lev = lev.replace(
+                slot_src=s1, slot_tap=t1, slot_overflow=dropped,
+                slot_idxm=im, slot_srcm=sm, slot_tapm=tm,
+                slot_idx=ih, slot_src2=sh, slot_tap2=th,
+            )
+        elif isinstance(h, tuple):  # split-phase spec (h_lo, h_max, vh_cap)
             h_lo, h_max, vh_cap = h
             s1, t1, idx, s2, t2, dropped = build_slots_split(
                 n, h_lo, h_max, min(vh_cap, g.capacity)

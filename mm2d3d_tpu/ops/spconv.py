@@ -242,6 +242,78 @@ def _subm_slots2_bwd(res, g):
 _subm_apply_slots2.defvjp(_subm_slots2_fwd, _subm_slots2_bwd)
 
 
+# --- 3-tier variant (hierarchy.build_slots_tiered): tier 1 sized near the
+# MEAN hit count for all voxels, plus two compacted overflow tiers.  Same
+# adjoint structure as the 2-tier form, one more scatter-added phase.
+
+def _slots3_raw(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid):
+    from .pallas.bandmm import slot_conv_apply
+
+    padded = _pad_zero_row(feats)
+    x1 = jnp.take(padded, s1, axis=0)  # (h1, V, Ci)
+    out = slot_conv_apply(_masked(feats, valid), x1, t1, weight)
+    xm = jnp.take(padded, sm, axis=0)  # (Hm, Vm, Ci)
+    om = slot_conv_apply(None, xm, tm, weight, tap_lo=s1.shape[0])
+    out = _scatter_add_rows(out, im, om)
+    xh = jnp.take(padded, sh, axis=0)  # (Hh, Vh, Ci)
+    oh = slot_conv_apply(
+        None, xh, th, weight, tap_lo=s1.shape[0] + sm.shape[0]
+    )
+    return _scatter_add_rows(out, ih, oh), x1, xm, xh
+
+
+@jax.custom_vjp
+def _subm_apply_slots3(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid):
+    return _slots3_raw(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid)[0]
+
+
+def _subm_slots3_fwd(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid):
+    out, x1, xm, xh = _slots3_raw(
+        feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid
+    )
+    return out, (x1, xm, xh, feats, weight, s1, t1, im, sm, tm, ih, sh, th,
+                 valid)
+
+
+def _subm_slots3_bwd(res, g):
+    from .pallas.bandmm import slot_conv_apply, slot_conv_dw
+
+    (x1, xm, xh, feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid) = res
+    g = g.astype(feats.dtype)
+    w_flip = weight[::-1].swapaxes(1, 2)
+    g_pad = _pad_zero_row(g)
+    h1, hm = s1.shape[0], sm.shape[0]
+    # adjoint conv through the same tier tables (cf. _subm_slots2_bwd)
+    g1 = jnp.take(g_pad, s1, axis=0)
+    d_feats = slot_conv_apply(_masked(g, valid), g1, t1, w_flip)
+    gm = jnp.take(g_pad, sm, axis=0)
+    d_feats = _scatter_add_rows(
+        d_feats, im, slot_conv_apply(None, gm, tm, w_flip, tap_lo=h1)
+    )
+    gh = jnp.take(g_pad, sh, axis=0)
+    d_feats = _scatter_add_rows(
+        d_feats, ih, slot_conv_apply(None, gh, th, w_flip, tap_lo=h1 + hm)
+    )
+
+    g_m = jnp.take(g_pad, im, axis=0)  # (Vm, Co)
+    g_h = jnp.take(g_pad, ih, axis=0)  # (Vh, Co)
+    d_weight = (
+        slot_conv_dw(_masked(feats, valid), x1, t1, g)
+        + slot_conv_dw(None, xm, tm, g_m, tap_lo=h1)
+        + slot_conv_dw(None, xh, th, g_h, tap_lo=h1 + hm)
+    )
+    return (
+        d_feats.astype(feats.dtype),
+        d_weight.astype(weight.dtype),
+        _int_zero(s1), _int_zero(t1), _int_zero(im), _int_zero(sm),
+        _int_zero(tm), _int_zero(ih), _int_zero(sh), _int_zero(th),
+        _int_zero(valid),
+    )
+
+
+_subm_apply_slots3.defvjp(_subm_slots3_fwd, _subm_slots3_bwd)
+
+
 def subm_conv3(
     feats: jax.Array,
     level: GridLevel,
@@ -272,6 +344,13 @@ def subm_conv3(
         pad = (-cin) % 8
         feats = jnp.pad(feats, ((0, 0), (0, pad)))
         weight = jnp.pad(weight, ((0, 0), (0, pad), (0, 0)))
+    if level.slot_srcm is not None:
+        return _subm_apply_slots3(
+            feats.astype(compute_dtype), weight.astype(compute_dtype),
+            level.slot_src, level.slot_tap,
+            level.slot_idxm, level.slot_srcm, level.slot_tapm,
+            level.slot_idx, level.slot_src2, level.slot_tap2, level.valid,
+        )
     if level.slot_src2 is not None:
         return _subm_apply_slots2(
             feats.astype(compute_dtype), weight.astype(compute_dtype),

@@ -49,7 +49,12 @@ class VoxelGrid:
     # segment sum instead of a point-order scatter-add — scatters are the
     # slowest descriptor-bound op on this chip (~4x a gather row).
     sort_perm: Optional[jax.Array] = None  # (P,) int32
-    seg_sorted: Optional[jax.Array] = None  # (P,) int32 in [0, V]
+    seg_sorted: Optional[jax.Array] = None  # (P,) int32 in [0, V], MONOTONE
+    # Validity of each SORTED row.  seg_sorted ids are nondecreasing (the
+    # indices_are_sorted contract) — invalid rows inherit the previous
+    # segment id instead of jumping to the dump row — so pooling must mask
+    # their VALUES with this instead of relying on the dump row.
+    valid_sorted: Optional[jax.Array] = None  # (P,) bool
 
     @property
     def capacity(self) -> int:
@@ -132,11 +137,24 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     prev_lo = jnp.concatenate([ls[:1] - 1, ls[:-1]])
     is_new = ((hs != prev_hi) | (ls != prev_lo)) & valid_s
 
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    seg_raw = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     num_voxels = jnp.sum(is_new.astype(jnp.int32))
-    num_valid = jnp.sum(valid_s.astype(jnp.int32))
-    # invalid points and overflow voxels -> dump row v_cap
-    seg = jnp.where(valid_s & (seg < v_cap) & (seg >= 0), seg, v_cap)
+    # invalid points and overflow voxels -> dump row v_cap (point->voxel map)
+    seg = jnp.where(valid_s & (seg_raw < v_cap) & (seg_raw >= 0), seg_raw, v_cap)
+
+    # Segment ids for the SORTED segment ops.  These must be nondecreasing
+    # for indices_are_sorted=True to hold — and `seg` is NOT when invalid
+    # runs sit mid-sequence (the presorted loaders' per-sample layout:
+    # each sample's padding tail precedes the next sample's keys).  The
+    # sorted-scatter hint is a real contract on TPU: violating it silently
+    # corrupts the table (CPU happens to ignore it, which is why CPU tests
+    # passed while the TPU build collapsed coarse levels ~10x).  So the
+    # segment ops use monotone ids — invalid rows INHERIT the previous
+    # segment id — and their VALUES are masked to the op identity instead
+    # (keys are already INVALID=int32max, the min identity; coords masked
+    # up; counts sum valid_s).
+    seg_m = jnp.minimum(jnp.maximum(seg_raw, 0), v_cap)
+    coords_m = jnp.where(valid_s[:, None], coords_s, jnp.iinfo(jnp.int32).max)
 
     # NB: a scatter-min("first row per segment") + packed-row-gather
     # formulation is ~27% faster when the topology is jitted ALONE, but
@@ -146,13 +164,13 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     # in-graph timings are what count).
     nseg = v_cap + 1
     key_hi = jax.ops.segment_min(
-        hs, seg, num_segments=nseg, indices_are_sorted=True
+        hs, seg_m, num_segments=nseg, indices_are_sorted=True
     )[:v_cap]
     key_lo = jax.ops.segment_min(
-        ls, seg, num_segments=nseg, indices_are_sorted=True
+        ls, seg_m, num_segments=nseg, indices_are_sorted=True
     )[:v_cap]
     vox_coords = jax.ops.segment_min(
-        coords_s, seg, num_segments=nseg, indices_are_sorted=True
+        coords_m, seg_m, num_segments=nseg, indices_are_sorted=True
     )[:v_cap]
 
     row_valid = jnp.arange(v_cap) < jnp.minimum(num_voxels, v_cap)
@@ -161,14 +179,13 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
 
     if with_counts:
         counts = jax.ops.segment_sum(
-            jnp.ones((p,), jnp.int32), seg, num_segments=nseg,
+            valid_s.astype(jnp.int32), seg_m, num_segments=nseg,
             indices_are_sorted=True,
         )[:v_cap]
     else:
         # Points-per-voxel is only consumed by mode-4 pooling at level 0;
         # grid-hierarchy levels skip it.
         counts = jnp.zeros((v_cap,), jnp.int32)
-    del num_valid
 
     if perm is None:
         p2v = seg  # rows were already in table order
@@ -178,11 +195,10 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     # Pin the table: its fields are read by many downstream consumers
     # (neighbor propagation, transitions, convs); without the barrier XLA's
     # fusion can re-run the cumsum/segment chain inside each of them.
-    key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts, seg = (
-        jax.lax.optimization_barrier(
-            (key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts,
-             seg)
-        )
+    (key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts, seg_m,
+     valid_s) = jax.lax.optimization_barrier(
+        (key_hi, key_lo, vox_coords, vox_batch, row_valid, p2v, counts,
+         seg_m, valid_s)
     )
 
     return VoxelGrid(
@@ -199,7 +215,8 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
         # with_counts marks level-0 use: keep the sorted segment ids so
         # mode-4 pooling can run as a SORTED segment sum (presorted inputs
         # need no permutation gather at all)
-        seg_sorted=seg if (perm is not None or with_counts) else None,
+        seg_sorted=seg_m if (perm is not None or with_counts) else None,
+        valid_sorted=valid_s if (perm is not None or with_counts) else None,
     )
 
 
@@ -215,6 +232,10 @@ def pool_features(grid: VoxelGrid, feats: jax.Array, mode: str = "mean") -> jax.
             if grid.sort_perm is None
             else jnp.take(feats, grid.sort_perm, axis=0)
         )
+        # seg_sorted is monotone (invalid rows inherit the previous
+        # segment); mask invalid rows' values instead of dump-routing them.
+        if grid.valid_sorted is not None:
+            fs = jnp.where(grid.valid_sorted[:, None], fs, 0)
         total = jax.ops.segment_sum(
             fs, grid.seg_sorted, num_segments=v + 1, indices_are_sorted=True
         )[:v]

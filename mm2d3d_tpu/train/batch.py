@@ -118,15 +118,14 @@ def default_slot_caps(
     over the observed per-level maxima; ``vh_cap`` 4-8x over the observed
     heavy-voxel counts.
 
-    All levels use split slots (round-2 recalibration; measured per-level
-    hit histograms over seeds: L0 mean 2.4 max 13, L1 mean 3.0 max 17,
-    L2 3.2/17, L3 3.9/18, L4 4.3/18, L5 5.3/15, L6 5.6/14; heavy-voxel
-    counts (cnt > h_lo): L0 <=1.3k, L1 <=3.1k, L2 <=0.9k, L3 <=0.6k,
-    L4 <=0.4k, L5/L6 <=0.4k).  h_max = 26 from L3 down — the phase-2
-    width is cheap there (small vh_cap) and 26 off-center taps is the
-    structural maximum, so NOTHING can ever be tail-dropped; at L0-L2
-    h_max keeps >=1.4x margin over the observed maxima.  vh_cap carries
-    2.5-5x headroom over observed heavy counts.
+    Levels 0-4 use a 3-TIER spec ``(h1, h2, h_max, vm_cap, vh_cap)``
+    (`ops.hierarchy.build_slots_tiered`): tier 1 near the mean for all
+    voxels, a compacted mid tier for cnt > h1, and a compacted far tail
+    for cnt > h2 — the skew is strong enough that the extra tier cuts
+    gather rows another ~25-40% over the 2-tier split.  h_max = 26 at
+    every level: 26 off-center taps is the structural maximum, so NOTHING
+    can ever be tail-dropped; only a tier's compaction cap can bind, and
+    that is monitored.
 
     `GridLevel.slot_overflow` (logged as train/nbr_slot_overflow and in
     eval logs) monitors that h_max/vh_cap never bind.  IMPORTANT: a
@@ -137,20 +136,39 @@ def default_slot_caps(
     forward.  Treat sustained overflow as a config error and raise the
     caps.
     """
-    # (h_lo, h_max, vh_cap numerator/64 of V)
-    plan = {
-        0: (6, 18, 4),  # vh = V/16 = 4096 at the flagship size
-        1: (6, 20, 12),  # vh = 3V/16 = 7680
-        2: (8, 26, 11),  # vh = 4096 (v=24576)
-        3: (8, 26, 12),  # vh = 3072
-        4: (8, 26, 16),  # vh = 2048
-        5: (10, 26, 16),  # vh = 1024
+    # 3-tier plan (h1, h2, h_max, vm_cap/V in 64ths, vh_cap/V in 64ths),
+    # calibrated on the TRUE topology (seeds 0-3, flagship size; the round-2
+    # pre-sort regression had collapsed deep levels ~10x — see
+    # ops/voxelize._dedup on the indices_are_sorted contract):
+    #   L0 mean 2.4 max 11, >3 <=14.2k, >6 <=0.95k
+    #   L1 mean 2.9 max 17, >4 <=5.6k,  >8 <=1.3k
+    #   L2 mean 3.1 max 17, >4 <=4.0k,  >8 <=0.9k
+    #   L3 mean 3.7 max 18, >4 <=3.2k,  >8 <=0.7k
+    #   L4 mean 4.0 max 20, >4 <=1.7k,  >8 <=0.4k
+    # Tier caps carry ~2x headroom over those maxima; h_max = 26 is the
+    # structural maximum, so the TAIL can never drop — only a tier's
+    # compaction cap can, and that is monitored.  L5+ keeps the 2-tier
+    # form (3-tuples): V is tiny there and the extra tier's launches cost
+    # more than the rows saved.
+    plan3 = {
+        0: (3, 6, 26, 28, 2),
+        1: (4, 8, 26, 20, 4),
+        2: (4, 8, 26, 22, 6),
+        3: (4, 8, 26, 24, 6),
+        4: (4, 8, 26, 24, 8),
     }
     specs = []
     for l in range(num_levels):
         v = capacities[l] if capacities is not None else 1 << 16
-        h_lo, h_max, num = plan.get(l, (10, 26, 16))
-        specs.append((h_lo, h_max, max(256, v * num // 64)))
+        if l in plan3:
+            h1, h2, h_max, nm, nh = plan3[l]
+            specs.append((
+                h1, h2, h_max,
+                max(256, v * nm // 64), max(256, v * nh // 64),
+            ))
+        else:
+            # deep levels: mean ~5.1-5.5, cnt>8 <= ~350 at the flagship size
+            specs.append((8, 26, max(256, v * 16 // 64)))
     return tuple(specs)
 
 

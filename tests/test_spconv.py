@@ -226,11 +226,9 @@ def test_build_nbr_dense_map_matches_search(rng):
 
 
 def test_default_slot_caps_cover_flagship_scans():
-    """The default L0 slot cap must not drop hits on realistic scans.
-
-    Seed 1 is the adversarial one: its level-0 max off-center hit count
-    (13) is the largest observed across seeds and sets the default cap.
-    """
+    """The default slot specs must not drop hits on realistic scans at any
+    level (h_max=26 rules out tail drops structurally; this guards the
+    tier compaction caps, calibrated with ~2x headroom on seeds 0-3)."""
     from mm2d3d_tpu.data.synthetic import make_batch
     from mm2d3d_tpu.train.batch import build_topology
 
@@ -368,3 +366,48 @@ def test_child_slot_down_up_conv_match_dense(rng):
     gd = jax.grad(uloss_dense, argnums=(0, 1))(jnp.asarray(cfeats), jnp.asarray(wu))
     for a, bb in zip(gs, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-3, atol=1e-4)
+
+
+def test_tiered_slot_conv_matches_dense(rng):
+    """3-tier slot conv (build_slots_tiered) == dense 27-tap conv, values
+    and both gradients, on a dense grid exercising all three tiers."""
+    from mm2d3d_tpu.ops.spconv import _subm_apply
+
+    p, b = 700, 2
+    coords = rng.randint(0, 8, size=(p, 3)).astype(np.int32)  # dense 8^3
+    batch = rng.randint(0, b, size=(p,)).astype(np.int32)
+    valid = rng.rand(p) < 0.95
+    grid = voxelize(jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), 8)
+    hier = build_hierarchy(
+        grid, num_levels=1,
+        slot_caps=((2, 5, 26, grid.capacity, grid.capacity),),
+    )
+    lvl = hier.levels[0]
+    assert lvl.slot_srcm is not None
+    assert int(lvl.slot_overflow) == 0  # h_max=26 can never drop
+    # the dense grid must exercise both overflow tiers
+    assert int((np.asarray(lvl.slot_idxm) < lvl.capacity).sum()) > 10
+    assert int((np.asarray(lvl.slot_idx) < lvl.capacity).sum()) > 5
+
+    cin, cout = 6, 5
+    feats = rng.randn(lvl.capacity, cin).astype(np.float32)
+    feats[int(lvl.num_voxels):] = 0.0
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+    g_out = rng.randn(lvl.capacity, cout).astype(np.float32)
+
+    dense = _subm_apply(jnp.asarray(feats), jnp.asarray(w), lvl.nbr)
+    tiered = subm_conv3(jnp.asarray(feats), lvl, jnp.asarray(w),
+                        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(tiered), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_tiered(f, ww):
+        return jnp.sum(subm_conv3(f, lvl, ww, compute_dtype=jnp.float32) * g_out)
+
+    def loss_dense(f, ww):
+        return jnp.sum(_subm_apply(f, ww, lvl.nbr) * g_out)
+
+    gf_t, gw_t = jax.grad(loss_tiered, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(w))
+    gf_d, gw_d = jax.grad(loss_dense, argnums=(0, 1))(jnp.asarray(feats), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_d), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_d), rtol=1e-3, atol=1e-4)

@@ -147,6 +147,14 @@ def test_presorted_voxelize_matches_sorted(rng):
     for i in range(b):
         perm = morton_sort_perm(coords[i], valid[i], fs)
         np.testing.assert_array_equal(p2v_ref[i][perm], p2v_pre[i])
+    # THE CONTRACT, not just the semantics: every segment-op id sequence
+    # must be nondecreasing, or indices_are_sorted=True silently corrupts
+    # the table on TPU (CPU ignores the hint, so a values-only test cannot
+    # catch it — this regression shipped a ~10x-collapsed hierarchy to the
+    # TPU build while the whole CPU suite stayed green).
+    for g in (g_ref, g_pre):
+        seg = np.asarray(g.seg_sorted)
+        assert (np.diff(seg) >= 0).all(), "seg_sorted must be monotone"
     # mode-4 pooling agrees (the presorted grid pools without any gather)
     feats = rng.randn(b, n, 3).astype(np.float32)
     sf = np.stack([feats[i][morton_sort_perm(coords[i], valid[i], fs)]

@@ -64,17 +64,21 @@ class _HeadConvParams(nn.Module):
         return k, b
 
 
-def _pooled_head(x: jax.Array, cout: int, name: str, parent) -> jax.Array:
-    """AvgPool2d(5,1,2) -> 1x1 conv, computed as pool(W x) + b.
+class _DecConvParams(nn.Module):
+    """3x3 conv params with nn.Conv's tree layout (kernel + bias), so the
+    fused head path below can read dec_conv_stage1's parameters without
+    paying its full-width convolution."""
 
-    Pooling and the (bias-free part of the) 1x1 conv are both linear and
-    commute, so the 5x5 average runs over `cout` (=num_classes) channels
-    instead of 64 — ~10x less pooling work, bit-equal up to fp rounding
-    (the bias is added AFTER pooling, matching pool-then-conv exactly).
-    """
-    k, b = _HeadConvParams(x.shape[-1], cout, name=name, parent=parent)()
-    y = jnp.einsum("bhwc,cd->bhwd", x, k[0, 0])
-    return _avg_pool_5x5(y) + b
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, self.cin, self.cout)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return k, b
 
 
 class UpStage(nn.Module):
@@ -132,6 +136,7 @@ class Net2DSeg(nn.Module):
         img_indices: jax.Array,  # (B, N, 2) int32
         point_mask: jax.Array,  # (B, N) bool
         train: bool = False,
+        with_features: bool = True,
     ) -> Tuple[Dict[str, jax.Array], jax.Array, Dict[str, jax.Array]]:
         h, w = img.shape[1], img.shape[2]
         pad_h = (-h) % 16
@@ -188,19 +193,47 @@ class Net2DSeg(nn.Module):
             jnp.concatenate([depth_feats[1], x, rgb_feats[1]], -1), train
         )
         x = UpStage(64, self.compute_dtype, name="up2")(x, train)
-        x = nn.Conv(
-            64, (3, 3), padding=1, dtype=self.compute_dtype,
-            param_dtype=jnp.float32, name="dec_conv_stage1",
-        )(jnp.concatenate([depth_feats[0], x, rgb_feats[0]], -1))
+        x_cat = jnp.concatenate([depth_feats[0], x, rgb_feats[0]], -1)
 
-        segm_last = x[:, :h, :w, :].astype(jnp.float32)  # crop padding
+        # Fused head path.  dec_conv_stage1 has no BN/activation and feeds
+        # two LINEAR 1x1 heads (reference 2d_net/model.py:123-130,160-180),
+        # so conv3x3(cat, Wd) @ Kh == conv3x3(cat, Wd @ Kh) exactly: compose
+        # the weights and convolve straight to 2 * num_classes channels.
+        # The composed form does ~5x fewer FLOPs, writes 64/12x less HBM at
+        # full resolution, and (with with_features=False) drops the 64-wide
+        # full-res conv from forward AND backward entirely.  Gradients flow
+        # through the composition, so training is unchanged.
+        nc = self.num_classes
+        dec_k, dec_b = _DecConvParams(x_cat.shape[-1], 64, name="dec_conv_stage1")()
+        k_main, b_main = _HeadConvParams(64, nc, name="head_conv")()
+        k_aux, b_aux = _HeadConvParams(64, nc, name="aux_conv")()
+        k_heads = jnp.concatenate([k_main[0, 0], k_aux[0, 0]], axis=-1)  # (64, 2nc)
+        w12 = jnp.einsum("hwio,od->hwid", dec_k, k_heads)  # (3, 3, cat, 2nc)
+        b12 = dec_b @ k_heads  # (2nc,)
+        y = jax.lax.conv_general_dilated(
+            x_cat.astype(self.compute_dtype), w12.astype(self.compute_dtype),
+            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32) + b12
+        y = _avg_pool_5x5(y[:, :h, :w, :])  # crop padding, pool both heads
+
+        if with_features:
+            segm_last = (
+                jax.lax.conv_general_dilated(
+                    x_cat.astype(self.compute_dtype),
+                    dec_k.astype(self.compute_dtype),
+                    (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ).astype(jnp.float32) + dec_b
+            )[:, :h, :w, :]
+        else:
+            segm_last = None
 
         # main head
-        seg_logit_2d = _pooled_head(segm_last, self.num_classes, "head_conv", self)
+        seg_logit_2d = y[..., :nc] + b_main
         seg_logit = lift_image_features(seg_logit_2d, img_indices, point_mask)
 
         # aux head (L2G_classifier_2D)
-        seg_logit_avg_2d = _pooled_head(segm_last, self.num_classes, "aux_conv", self)
+        seg_logit_avg_2d = y[..., nc:] + b_aux
         seg_logit_avg = lift_image_features(seg_logit_avg_2d, img_indices, point_mask)
 
         preds = {"seg_logit": seg_logit, "seg_logit_2d": seg_logit_2d}

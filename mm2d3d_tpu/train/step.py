@@ -160,8 +160,18 @@ class MM2D3DTask:
     def _fwd2d(self, params, stats, batch: PointBatch, train: bool, rng=None):
         variables = {"params": params, "batch_stats": stats}
         kwargs = {}
+        # Net2DSeg can skip materializing the 64-channel full-res feature
+        # map (segm_last) — nothing in the train/eval path consumes it and
+        # its conv is the most expensive in the 2D branch.  Plugins without
+        # the flag just return it.
+        import inspect
+
+        if "with_features" in inspect.signature(
+            type(self.model2d).__call__
+        ).parameters:
+            kwargs["with_features"] = False
         if train:
-            kwargs = {"mutable": ["batch_stats"], "rngs": {"dropout": rng}}
+            kwargs.update(mutable=["batch_stats"], rngs={"dropout": rng})
             (preds, segm_last, aux), mut = self.model2d.apply(
                 variables, batch.img, batch.depth, batch.img_indices,
                 batch.point_mask, True, **kwargs,
@@ -169,7 +179,7 @@ class MM2D3DTask:
             return preds, segm_last, aux, mut["batch_stats"]
         preds, segm_last, aux = self.model2d.apply(
             variables, batch.img, batch.depth, batch.img_indices,
-            batch.point_mask, False,
+            batch.point_mask, False, **kwargs,
         )
         return preds, segm_last, aux, stats
 

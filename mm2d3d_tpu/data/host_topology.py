@@ -92,6 +92,8 @@ def _tier_np(src, tap, cnt, v, h_from, h_to, cap):
     idx = np.full(cap, v, np.int32)
     take = heavy_rows[:cap]
     idx[: len(take)] = take
+    inv = np.full(len(cnt), cap, np.int32)  # voxel -> its tier row (cap=none)
+    inv[take] = np.arange(len(take), dtype=np.int32)
     s = np.full((h_to - h_from, cap), v, np.int32)
     t = np.full((h_to - h_from, cap), 27, np.int32)
     s[:, : len(take)] = src[h_from:h_to, take]
@@ -100,7 +102,7 @@ def _tier_np(src, tap, cnt, v, h_from, h_to, cap):
     if len(heavy_rows) > cap:
         extra = heavy_rows[cap:]
         un = (np.minimum(cnt[extra], h_to) - h_from).sum()
-    return idx, s, t, int(un)
+    return idx, inv, s, t, int(un)
 
 
 def _build_slots_tiered_np(
@@ -113,10 +115,10 @@ def _build_slots_tiered_np(
     hit[13] = False
     cnt = hit.sum(0)
 
-    idxm, srcm, tapm, un_m = _tier_np(src, tap, cnt, v, h1, h2, vm_cap)
-    idxh, srch, taph, un_h = _tier_np(src, tap, cnt, v, h2, h_max, vh_cap)
+    idxm, invm, srcm, tapm, un_m = _tier_np(src, tap, cnt, v, h1, h2, vm_cap)
+    idxh, _, srch, taph, un_h = _tier_np(src, tap, cnt, v, h2, h_max, vh_cap)
     dropped = np.maximum(cnt - h_max, 0).sum() + un_m + un_h
-    return (src[:h1], tap[:h1], idxm, srcm, tapm, idxh, srch, taph,
+    return (src[:h1], tap[:h1], idxm, invm, srcm, tapm, idxh, srch, taph,
             np.int32(dropped))
 
 
@@ -175,12 +177,14 @@ def build_topology_host(
             return {}
         if isinstance(h, tuple) and len(h) == 5:
             h1, h2, h_max, vm_cap, vh_cap = h
-            s1, t1, im, sm, tm, ih, sh, th, dropped = _build_slots_tiered_np(
+            (s1, t1, im, invm, sm, tm, ih, sh, th,
+             dropped) = _build_slots_tiered_np(
                 nbr, h1, h2, h_max, min(vm_cap, level_cap),
                 min(vh_cap, level_cap),
             )
             return dict(slot_src=s1, slot_tap=t1, slot_overflow=dropped,
-                        slot_idxm=im, slot_srcm=sm, slot_tapm=tm,
+                        slot_idxm=im, slot_invm=invm, slot_srcm=sm,
+                        slot_tapm=tm,
                         slot_idx=ih, slot_src2=sh, slot_tap2=th)
         if isinstance(h, tuple):
             h_lo, h_max, vh_cap = h

@@ -74,6 +74,10 @@ class GridLevel:
     # the ~10-25% of voxels past it, and the hi tier for the far tail cuts
     # conv gather rows ~40% vs the 2-tier split.
     slot_idxm: Optional[jax.Array] = None  # (Vm,) int32 in [0, V]; V = pad
+    slot_invm: Optional[jax.Array] = None  # (V,) int32 in [0, Vm]; Vm = no
+    # mid row — the inverse of slot_idxm, so the conv can GATHER the mid
+    # tier's output rows instead of scatter-adding them (scatter rows cost
+    # ~4x gather rows; the mid tier holds up to ~44% of V)
     slot_srcm: Optional[jax.Array] = None  # (Hm, Vm) int32 in [0, V]
     slot_tapm: Optional[jax.Array] = None  # (Hm, Vm) int32
 
@@ -216,20 +220,26 @@ def build_slots(nbr: jax.Array, num_slots: int):
 
 
 
-def _compact_indices(mask: jax.Array, cap: int, fill: int) -> jax.Array:
+def _compact_indices(mask: jax.Array, cap: int, fill: int):
     """First `cap` indices where `mask`, in order; `fill` pads the tail.
 
     cumsum + one narrow scatter — jnp.nonzero(size=...) lowers to a full
     sort, which costs more than every other op in the slot builders.
+
+    Returns (idx (cap,), inv (n,)): `inv[i]` is row i's position in the
+    compacted table, or `cap` (the dump row) when i is not compacted —
+    the inverse map, free to produce here, lets consumers GATHER compacted
+    outputs back instead of scatter-adding them.
     """
     n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    tgt = jnp.where(mask & (pos < cap), pos, cap)
-    return (
+    inv = jnp.where(mask & (pos < cap), pos, cap)
+    idx = (
         jnp.full((cap + 1, 1), fill, jnp.int32)
-        .at[tgt].set(jnp.arange(n, dtype=jnp.int32)[:, None], mode="drop")
+        .at[inv].set(jnp.arange(n, dtype=jnp.int32)[:, None], mode="drop")
         [:cap, 0]
     )
+    return idx, inv
 
 
 def _rank_slots(nbr_k: jax.Array, miss: int, num_slots: int, rank0: int,
@@ -299,7 +309,7 @@ def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
     # deep extraction over all V columns would cost ~10x phase 1 for <2%
     # of voxels.
     heavy = cnt > h_lo
-    idx_hi = _compact_indices(heavy, vh_cap, v)
+    idx_hi, _ = _compact_indices(heavy, vh_cap, v)
     nbr_rows = jnp.concatenate(
         [nbr_off.T, jnp.full((1, 26), v, jnp.int32)], 0
     )  # (V + 1, 26)
@@ -320,9 +330,9 @@ def build_slots_split(nbr: jax.Array, h_lo: int, h_max: int, vh_cap: int):
 
 def _rank_slots_compacted(nbr_off, cnt, v, h_from, h_to, cap):
     """Slots [h_from, h_to) for the voxels with more than h_from hits,
-    compacted to `cap` rows.  Returns (idx, src, tap, n_uncompacted)."""
+    compacted to `cap` rows.  Returns (idx, inv, src, tap, n_uncompacted)."""
     heavy = cnt > h_from
-    idx = _compact_indices(heavy, cap, v)
+    idx, inv = _compact_indices(heavy, cap, v)
     nbr_rows = jnp.concatenate(
         [nbr_off.T, jnp.full((1, nbr_off.shape[0]), v, jnp.int32)], 0
     )  # (V + 1, K)
@@ -336,7 +346,7 @@ def _rank_slots_compacted(nbr_off, cnt, v, h_from, h_to, cap):
         jnp.minimum(cnt, h_to) - h_from,
         0,
     )
-    return idx, src, tap, jnp.sum(uncompacted)
+    return idx, inv, src, tap, jnp.sum(uncompacted)
 
 
 def build_slots_tiered(
@@ -351,9 +361,14 @@ def build_slots_tiered(
     both monitored via the returned overflow counter.
 
     Returns: (src1 (h1, V), tap1,
-              idxm (vm_cap,), srcm (h2 - h1, vm_cap), tapm,
+              idxm (vm_cap,), invm (V,), srcm (h2 - h1, vm_cap), tapm,
               idxh (vh_cap,), srch (h_max - h2, vh_cap), taph,
               dropped () int32).
+
+    `invm` (voxel -> its mid-tier row, vm_cap = none) lets the conv add the
+    mid tier's output by GATHER instead of scatter; the heavy tier stays
+    scatter-added (vh_cap rows are few enough that the scatter is cheaper
+    than a V-row gather).
     """
     v = nbr.shape[1]
     center = _offset_index(0, 0, 0)
@@ -362,15 +377,15 @@ def build_slots_tiered(
     nbr_off = jnp.take(nbr, off, axis=0)  # (26, V)
 
     src1, tap1, cnt = _rank_slots(nbr_off, v, h1, 0, k_ids=k_ids)
-    idxm, srcm, tapm, un_m = _rank_slots_compacted(
+    idxm, invm, srcm, tapm, un_m = _rank_slots_compacted(
         nbr_off, cnt, v, h1, h2, vm_cap
     )
-    idxh, srch, taph, un_h = _rank_slots_compacted(
+    idxh, _, srch, taph, un_h = _rank_slots_compacted(
         nbr_off, cnt, v, h2, h_max, vh_cap
     )
     over_tail = jnp.sum(jnp.maximum(cnt - h_max, 0))
     dropped = over_tail + un_m + un_h
-    return src1, tap1, idxm, srcm, tapm, idxh, srch, taph, dropped
+    return src1, tap1, idxm, invm, srcm, tapm, idxh, srch, taph, dropped
 
 
 def build_child_slots(child: jax.Array, vf: int, h_lo: int, vh_cap: int):
@@ -389,7 +404,7 @@ def build_child_slots(child: jax.Array, vf: int, h_lo: int, vh_cap: int):
     src1, tap1, cnt = _rank_slots(child.T, vf, h_lo, 0)
 
     heavy = cnt > h_lo
-    idx_hi = _compact_indices(heavy, vh_cap, vc)
+    idx_hi, _ = _compact_indices(heavy, vh_cap, vc)
     child_pad = jnp.concatenate([child, jnp.full((1, 8), vf, jnp.int32)], 0)
     child_hi = jnp.take(child_pad, idx_hi, axis=0)  # (Vh, 8)
 
@@ -616,13 +631,13 @@ def build_hierarchy(
         if isinstance(h, tuple) and len(h) == 5:
             # 3-tier spec (h1, h2, h_max, vm_cap, vh_cap)
             h1, h2, h_max, vm_cap, vh_cap = h
-            s1, t1, im, sm, tm, ih, sh, th, dropped = build_slots_tiered(
+            s1, t1, im, invm, sm, tm, ih, sh, th, dropped = build_slots_tiered(
                 n, h1, h2, h_max, min(vm_cap, g.capacity),
                 min(vh_cap, g.capacity),
             )
             lev = lev.replace(
                 slot_src=s1, slot_tap=t1, slot_overflow=dropped,
-                slot_idxm=im, slot_srcm=sm, slot_tapm=tm,
+                slot_idxm=im, slot_invm=invm, slot_srcm=sm, slot_tapm=tm,
                 slot_idx=ih, slot_src2=sh, slot_tap2=th,
             )
         elif isinstance(h, tuple):  # split-phase spec (h_lo, h_max, vh_cap)

@@ -191,6 +191,20 @@ def _scatter_add_rows(out, idx, rows):
     return padded.at[jnp.minimum(idx, v)].add(rows)[:v]
 
 
+def _gather_add_rows(out, inv, rows):
+    """out[v] += rows[inv[v]] (inv == len(rows) means no contribution).
+
+    The inverse-map formulation of `_scatter_add_rows`: scatter rows cost
+    ~4x gather rows on this chip, so whenever the compacted tier holds more
+    than ~V/4 rows the V-row gather is cheaper — and it fuses into the
+    elementwise consumer, which a scatter never does.
+    """
+    padded = jnp.concatenate(
+        [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], 0
+    )
+    return out + jnp.take(padded, inv, axis=0)
+
+
 def _slots2_raw(feats, weight, s1, t1, idx, s2, t2, valid):
     from .pallas.bandmm import slot_conv_apply
 
@@ -246,7 +260,7 @@ _subm_apply_slots2.defvjp(_subm_slots2_fwd, _subm_slots2_bwd)
 # MEAN hit count for all voxels, plus two compacted overflow tiers.  Same
 # adjoint structure as the 2-tier form, one more scatter-added phase.
 
-def _slots3_raw(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid):
+def _slots3_raw(feats, weight, s1, t1, im, invm, sm, tm, ih, sh, th, valid):
     from .pallas.bandmm import slot_conv_apply
 
     padded = _pad_zero_row(feats)
@@ -254,7 +268,9 @@ def _slots3_raw(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid):
     out = slot_conv_apply(_masked(feats, valid), x1, t1, weight)
     xm = jnp.take(padded, sm, axis=0)  # (Hm, Vm, Ci)
     om = slot_conv_apply(None, xm, tm, weight, tap_lo=s1.shape[0])
-    out = _scatter_add_rows(out, im, om)
+    # mid tier: gather-side add (Vm is a large fraction of V; a Vm-row
+    # scatter costs more than a V-row gather, cf. _gather_add_rows)
+    out = _gather_add_rows(out, invm, om)
     xh = jnp.take(padded, sh, axis=0)  # (Hh, Vh, Ci)
     oh = slot_conv_apply(
         None, xh, th, weight, tap_lo=s1.shape[0] + sm.shape[0]
@@ -263,22 +279,27 @@ def _slots3_raw(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid):
 
 
 @jax.custom_vjp
-def _subm_apply_slots3(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid):
-    return _slots3_raw(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid)[0]
+def _subm_apply_slots3(feats, weight, s1, t1, im, invm, sm, tm, ih, sh, th,
+                       valid):
+    return _slots3_raw(
+        feats, weight, s1, t1, im, invm, sm, tm, ih, sh, th, valid
+    )[0]
 
 
-def _subm_slots3_fwd(feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid):
+def _subm_slots3_fwd(feats, weight, s1, t1, im, invm, sm, tm, ih, sh, th,
+                     valid):
     out, x1, xm, xh = _slots3_raw(
-        feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid
+        feats, weight, s1, t1, im, invm, sm, tm, ih, sh, th, valid
     )
-    return out, (x1, xm, xh, feats, weight, s1, t1, im, sm, tm, ih, sh, th,
-                 valid)
+    return out, (x1, xm, xh, feats, weight, s1, t1, im, invm, sm, tm, ih, sh,
+                 th, valid)
 
 
 def _subm_slots3_bwd(res, g):
     from .pallas.bandmm import slot_conv_apply, slot_conv_dw
 
-    (x1, xm, xh, feats, weight, s1, t1, im, sm, tm, ih, sh, th, valid) = res
+    (x1, xm, xh, feats, weight, s1, t1, im, invm, sm, tm, ih, sh, th,
+     valid) = res
     g = g.astype(feats.dtype)
     w_flip = weight[::-1].swapaxes(1, 2)
     g_pad = _pad_zero_row(g)
@@ -287,8 +308,8 @@ def _subm_slots3_bwd(res, g):
     g1 = jnp.take(g_pad, s1, axis=0)
     d_feats = slot_conv_apply(_masked(g, valid), g1, t1, w_flip)
     gm = jnp.take(g_pad, sm, axis=0)
-    d_feats = _scatter_add_rows(
-        d_feats, im, slot_conv_apply(None, gm, tm, w_flip, tap_lo=h1)
+    d_feats = _gather_add_rows(
+        d_feats, invm, slot_conv_apply(None, gm, tm, w_flip, tap_lo=h1)
     )
     gh = jnp.take(g_pad, sh, axis=0)
     d_feats = _scatter_add_rows(
@@ -305,9 +326,9 @@ def _subm_slots3_bwd(res, g):
     return (
         d_feats.astype(feats.dtype),
         d_weight.astype(weight.dtype),
-        _int_zero(s1), _int_zero(t1), _int_zero(im), _int_zero(sm),
-        _int_zero(tm), _int_zero(ih), _int_zero(sh), _int_zero(th),
-        _int_zero(valid),
+        _int_zero(s1), _int_zero(t1), _int_zero(im), _int_zero(invm),
+        _int_zero(sm), _int_zero(tm), _int_zero(ih), _int_zero(sh),
+        _int_zero(th), _int_zero(valid),
     )
 
 
@@ -348,7 +369,8 @@ def subm_conv3(
         return _subm_apply_slots3(
             feats.astype(compute_dtype), weight.astype(compute_dtype),
             level.slot_src, level.slot_tap,
-            level.slot_idxm, level.slot_srcm, level.slot_tapm,
+            level.slot_idxm, level.slot_invm, level.slot_srcm,
+            level.slot_tapm,
             level.slot_idx, level.slot_src2, level.slot_tap2, level.valid,
         )
     if level.slot_src2 is not None:
@@ -371,38 +393,40 @@ def subm_conv3(
 # stride-2 down conv / deconv (mutual transposes)
 # ---------------------------------------------------------------------------
 
+def _per_tap_matmul(x, off_id, weight):
+    """y[v] = x[v] @ weight[off_id[v]]  ->  (V, Co) fp32.
+
+    The banded-matrix form (ops.pallas.bandmm with H = 1, K = 8): each tile
+    scatters x into its tap band in VMEM and runs one deep-K MXU matmul.
+    The broadcast-matmul + one-hot-einsum formulation this replaces
+    materialized an (8, V, Co) fp32 tap tensor in HBM per strided conv
+    (~33 MB at the flagship level-0 size).
+    """
+    from .pallas.bandmm import slot_conv_apply
+
+    return slot_conv_apply(None, x[None], off_id[None], weight)
+
+
 def _up_apply_raw(coarse_feats, weight, parent, off_id):
     """out_f[v] = coarse[parent[v]] @ weight[off_id[v]]  (fp32)."""
     vc = coarse_feats.shape[0]
-    cout = weight.shape[-1]
-    taps = jax.lax.dot_general(
-        jnp.broadcast_to(coarse_feats, (8,) + coarse_feats.shape), weight,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=_precision(coarse_feats.dtype),
-    ).reshape(8 * vc, cout)
-    taps = jnp.concatenate([taps, jnp.zeros((1, cout), taps.dtype)], axis=0)
-    flat_idx = jnp.where(parent < vc, off_id * vc + parent, 8 * vc)
-    return jnp.take(taps, flat_idx, axis=0)
+    padded = _pad_zero_row(coarse_feats)
+    xg = jnp.take(padded, jnp.minimum(parent, vc), axis=0)  # (Vf, Ci)
+    # dumped parents gather the zero pad row, so their output is zero for
+    # any off_id value
+    return _per_tap_matmul(xg, off_id, weight)
 
 
 def _down_seg_raw(fine_feats, weight, parent, off_id, vc):
     """out[c] = sum_{f in children(c)} fine[f] @ weight[off_id[f]].
 
     The fine table is Morton-sorted, so `parent` is nondecreasing (invalid
-    rows on the trailing dump segment): the whole strided conv is 8 batched
-    matmuls, a tap select, and ONE sorted segment-sum — zero gathers and
+    rows on the trailing dump segment): the whole strided conv is one
+    banded per-tap matmul and ONE sorted segment-sum — zero gathers and
     zero scatters (the gather formulation paid 8 descriptor-bound rows per
     parent; ~1.6 ms/fwd over the hierarchy at the flagship size).
     """
-    taps = jax.lax.dot_general(
-        jnp.broadcast_to(fine_feats, (8,) + fine_feats.shape), weight,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=_precision(fine_feats.dtype),
-    )  # (8, Vf, Co)
-    onehot = jax.nn.one_hot(off_id, 8, dtype=taps.dtype)  # (Vf, 8)
-    y = jnp.einsum("kvc,vk->vc", taps, onehot)
+    y = _per_tap_matmul(fine_feats, off_id, weight)
     return jax.ops.segment_sum(
         y, parent, num_segments=vc + 1, indices_are_sorted=True
     )[:vc]
@@ -410,10 +434,10 @@ def _down_seg_raw(fine_feats, weight, parent, off_id, vc):
 
 def _down_dw(fine_feats, off_id, gp):
     """d_weight[k] = sum over fine rows with off_id==k of fine x g[parent]."""
-    onehot = jax.nn.one_hot(off_id, 8, dtype=fine_feats.dtype)  # (Vf, 8)
-    return jnp.einsum(
-        "vk,vc,vd->kcd", onehot, fine_feats, gp,
-        precision=_precision(fine_feats.dtype),
+    from .pallas.bandmm import slot_conv_dw
+
+    return slot_conv_dw(
+        None, fine_feats[None], off_id[None], gp, k_taps=8
     )
 
 
@@ -567,11 +591,7 @@ def _up_slots_bwd(res, g):
     vc = coarse_feats.shape[0]
     padded = _pad_zero_row(coarse_feats)
     gp = jnp.take(padded, jnp.minimum(parent, vc), axis=0)  # (Vf, Cin)
-    onehot = jax.nn.one_hot(off_id, 8, dtype=gp.dtype)  # (Vf, 8)
-    d_weight = jnp.einsum(
-        "vk,vc,vd->kcd", onehot, gp, g,
-        precision=_precision(coarse_feats.dtype),
-    ).astype(weight.dtype)
+    d_weight = _down_dw(gp, off_id, g).astype(weight.dtype)
     return (d_coarse, d_weight, _int_zero(parent), _int_zero(off_id),
             _int_zero(s1), _int_zero(t1), _int_zero(idx), _int_zero(s2),
             _int_zero(t2))

@@ -57,7 +57,7 @@ def generate(cfg: Dict, ckpt_name: str, out_path: str) -> List[Dict]:
     sample = dataset[0]
     n_pts0 = _next_pow2(len(sample["coords"]))
     example = jax.tree_util.tree_map(
-        jnp.asarray, collate([sample], n_pts0)
+        jnp.asarray, collate([sample], n_pts0, full_scale=task.full_scale)
     )
     state = task.init_state(jax.random.PRNGKey(0), example)
     ckpt_dir = osp.join(cfg["train"].get("out_dir", "runs/default"), "ckpts")
@@ -101,7 +101,9 @@ def generate(cfg: Dict, ckpt_name: str, out_path: str) -> List[Dict]:
         full = len(idxs)
         kept = int(idxs.sum())
         n_pts = _next_pow2(kept)  # bucketed: few distinct compiled shapes
-        batch = jax.tree_util.tree_map(jnp.asarray, collate([sample], n_pts))
+        batch = jax.tree_util.tree_map(
+            jnp.asarray, collate([sample], n_pts, full_scale=task.full_scale)
+        )
         raw = forward(state.params2d, state.params3d, state.stats2d,
                       state.stats3d, batch)
         overflow = int(raw.pop("slot_overflow"))

@@ -38,6 +38,7 @@ def test_host_topology_matches_device():
         np.testing.assert_array_equal(th.child, np.asarray(td.child))
 
 
+@pytest.mark.slow  # compiles the full train-step graph
 def test_task_accepts_precomputed_topology():
     from mm2d3d_tpu.train.step import MM2D3DTask
 

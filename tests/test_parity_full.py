@@ -32,6 +32,7 @@ def _tiny_batch(rng, b=2, n=64, h=16, w=16, c=6, full_scale=64):
     )
 
 
+@pytest.mark.slow  # compiles the whole 3D net at fp32/HIGHEST
 def test_net3d_structural_parity(rng):
     """Layer plan == UNetSCN(m=16, num_planes=7, reps=1, VGG):
     planes [16,32,48,64,80,96,112], SubmConv 3^3 everywhere, stride-2

@@ -13,6 +13,7 @@ Oracle semantics follow SparseConvNet:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mm2d3d_tpu.ops.hierarchy import (
     OFFSETS_8,
@@ -304,6 +305,7 @@ def test_split_slot_conv_grads_match_dense(rng):
     np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_d), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # opt-in child-slot path; compiles a second conv variant
 def test_child_slot_down_up_conv_match_dense(rng):
     """Slot-compacted strided down conv / deconv adjoint == dense child-table
     path, for forward values and both gradients."""

@@ -16,6 +16,10 @@ from mm2d3d_tpu.parallel.mesh import (
 from mm2d3d_tpu.train.metrics import iou_per_class, mean_iou
 from mm2d3d_tpu.train.step import EvalMetrics, MM2D3DTask
 
+# Full train/eval-step graphs (and the 8-device shard_map variants) dominate
+# suite compile time on the single-core CPU backend - pre-commit tier.
+pytestmark = pytest.mark.slow
+
 FULL_SCALE = 256
 TINY = dict(height=32, width=48, n_points=192, num_classes=6, full_scale=FULL_SCALE)
 

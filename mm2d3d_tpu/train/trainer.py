@@ -186,6 +186,7 @@ class Trainer:
         if self.state is None:
             self.init_or_resume(self._to_device(first), resume=resume)
 
+        pending_logs = None  # (step, device logs) awaiting batched readback
         for epoch in range(self.start_epoch, self.max_epochs):
             self.source_loader.set_epoch(epoch)
             self.target_loader.set_epoch(epoch)
@@ -228,15 +229,20 @@ class Trainer:
                 self.global_step += 1
                 n += 1
                 if self.logger is not None:
-                    self.logger.log_metrics(
-                        {
-                            **{k: float(v) for k, v in logs.items()},
-                            **self.task.current_lrs(self.global_step),
-                        },
-                        self.global_step,
-                    )
+                    # one-step-delayed, batched readback: fetching the
+                    # PREVIOUS step's scalars (already computed) keeps the
+                    # dispatch pipeline full, and one stacked transfer
+                    # replaces a blocking per-key float() round trip —
+                    # per-scalar fetches over this backend's tunnel cost
+                    # ~1.4 ms each, more than the whole train step saves
+                    if pending_logs is not None:
+                        self._flush_train_logs(*pending_logs)
+                    pending_logs = (self.global_step, logs)
                 if self.limit_train_batches and n >= self.limit_train_batches:
                     break
+            if pending_logs is not None:
+                self._flush_train_logs(*pending_logs)
+                pending_logs = None
             print(
                 f"epoch {epoch}: {n} steps in {time.time() - t_epoch:.1f}s",
                 flush=True,
@@ -246,6 +252,19 @@ class Trainer:
                 self.validate(epoch)
 
         return self.state
+
+    def _flush_train_logs(self, step: int, logs) -> None:
+        keys = list(logs)
+        vals = np.asarray(
+            jnp.stack([jnp.asarray(logs[k], jnp.float32) for k in keys])
+        )  # ONE host transfer for all scalars
+        self.logger.log_metrics(
+            {
+                **dict(zip(keys, map(float, vals))),
+                **self.task.current_lrs(step),
+            },
+            step,
+        )
 
     def _log_images(self, batch, stage: str):
         """Qualitative point-overlay figure of the first sample
@@ -296,7 +315,9 @@ class Trainer:
                 self._log_images(batch_dev, stage.replace("/", "_"))
             eval_fn = self._sharded_eval or self.task.jit_eval_step
             metrics, logs = eval_fn(self.state, batch_dev, metrics)
-            losses.append({k: float(v) for k, v in logs.items()})
+            # keep device scalars; convert once after the loop so eval
+            # batches pipeline instead of blocking on per-key readbacks
+            losses.append(logs)
             if self.limit_val_batches and i + 1 >= self.limit_val_batches:
                 break
 
@@ -322,8 +343,19 @@ class Trainer:
             print([(c, round(float(v), 4)) for c, v in zip(self.class_names, ious)])
             out[f"{stage}/iou{head}"] = float(ious.mean())
         if losses:
-            for k in losses[0]:
-                out[f"{stage}/{k}"] = float(np.mean([l[k] for l in losses]))
+            keys = list(losses[0])
+            stacked = np.asarray(
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [jnp.asarray(l[k], jnp.float32) for l in losses]
+                        )
+                        for k in keys
+                    ]
+                )
+            )  # one transfer for the whole eval run
+            for j, k in enumerate(keys):
+                out[f"{stage}/{k}"] = float(stacked[j].mean())
         return out
 
     def validate(self, epoch: int) -> Dict[str, float]:

@@ -47,7 +47,7 @@ class Loader:
         num_workers: int = 0,
         num_shards: int = 1,
         shard_id: int = 0,
-        full_scale: Optional[int] = 4096,
+        full_scale: Optional[int] = None,
     ):
         """`batch_size` is the PER-PROCESS batch.  With `num_shards` > 1
         (multi-host training: one process per host), every process samples
@@ -63,7 +63,13 @@ class Loader:
         self.num_workers = num_workers
         self.num_shards = num_shards
         self.shard_id = shard_id
-        # host-side Morton sort scale (None disables; see data.base.collate)
+        # Host-side Morton sort scale (None disables; see data.base.collate).
+        # MUST equal the model/voxelizer full_scale when set: a larger value
+        # here would host-sort points the device later masks invalid,
+        # breaking voxelize(presorted=True)'s sortedness contract (silent
+        # table corruption).  The registry wires the model's value through
+        # (`run.build_datamodule`); the None default keeps directly
+        # constructed loaders on the always-safe device-sort path.
         self.full_scale = full_scale
         self.epoch = 0
         self._pool = None
@@ -99,14 +105,18 @@ class Loader:
 
         g = self.batch_size * self.num_shards
         lo = self.shard_id * self.batch_size
-        batches = [
-            order[i + lo : i + lo + self.batch_size]
-            for i in range(0, n, g)
-        ]
-        if self.drop_last or self.num_shards > 1:
-            # multi-host: every process must yield the same number of
-            # equally-sized batches or collectives deadlock
-            batches = [b for b in batches if len(b) == self.batch_size]
+        batches = []
+        for i in range(0, n, g):
+            if (self.drop_last or self.num_shards > 1) and i + g > n:
+                # drop the whole GLOBAL tail batch.  Filtering each
+                # shard's slice by ITS length would let low shards keep a
+                # full slice of a partial global batch while high shards
+                # drop theirs — unequal per-process batch counts, and
+                # multi-host collectives deadlock.
+                continue
+            b = order[i + lo : i + lo + self.batch_size]
+            if len(b):
+                batches.append(b)
 
         pool = self._pool_handle()
         if pool is None:

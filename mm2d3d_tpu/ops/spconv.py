@@ -505,6 +505,9 @@ def _down_slots_bwd(res, g):
         slot_conv_dw(None, x1, t1, g, k_taps=8)
         + slot_conv_dw(None, x2, t2, g_hi, k_taps=8, tap_lo=t1.shape[0])
     ).astype(weight.dtype)
+    # s1/s2 are not kept as residuals; their zero-tangents are built from
+    # t1/t2, which share their (h, V) int32 shape by construction
+    # (hierarchy.build_child_slots emits src/tap pairs together)
     return (d_fine, d_weight, _int_zero(t1), _int_zero(t1), _int_zero(idx),
             _int_zero(t2), _int_zero(t2), _int_zero(parent), _int_zero(off_id))
 

@@ -206,6 +206,23 @@ def main(argv=None):
             f"global batch {cfg['run']['batch_size']} not divisible by "
             f"{n_proc} processes"
         )
+        if mesh is None:
+            # without the mesh there is no grad/stat pmean: each process
+            # would silently train an independent, divergent model on its
+            # data shard while writing to the same out_dir
+            raise ValueError(
+                "multi-host run requires the data-parallel mesh: "
+                "run.data_parallel must not be 'off' and the global batch "
+                f"({cfg['run']['batch_size']}) must be divisible by the "
+                f"device count ({n_dev})"
+            )
+        tbs = cfg["run"].get("test_batch_size")
+        if tbs is not None and tbs % n_proc:
+            raise ValueError(
+                f"run.test_batch_size {tbs} not divisible by {n_proc} "
+                "processes (the floor-divided shards would silently shrink "
+                "the global eval batch and drop extra tail scans)"
+            )
         print(f"multi-host: process {proc_id}/{n_proc}, "
               f"{jax.local_device_count()} local devices")
     dm = build_datamodule(cfg, num_shards=n_proc, shard_id=proc_id)
@@ -235,7 +252,12 @@ def main(argv=None):
         train_log_images_step=cfg["train"]["params"].get("train_log_images_step", 2000),
         val_log_images_step=cfg["train"]["params"].get("val_log_images_step"),
         class_palette=cfg["train"]["params"].get("class_palette"),
-        strict_eval_points=cfg["train"].get("strict_eval_points", True),
+        # truncated eval points are always surfaced (WARNING + the
+        # {stage}/points_dropped metric); strict mode upgrades that to an
+        # error but is opt-in — a default-on RuntimeError at the first
+        # validation pass would kill long runs (and, multi-host, hang the
+        # other processes in collectives) over a budget knob
+        strict_eval_points=cfg["train"].get("strict_eval_points", False),
         viz_dir=osp.join(out_dir, "figures"),
         # host topology pipelining pays off on PCIe-attached TPU hosts; over
         # a low-bandwidth tunnel the array transfer dominates - default off.

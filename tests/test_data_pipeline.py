@@ -209,3 +209,18 @@ def test_loader_process_sharding():
         assert not np.array_equal(x.seg_label, y.seg_label) or not np.array_equal(
             x.coords, y.coords
         )
+
+    # regression: a PARTIAL global tail batch whose low-shard slice happens
+    # to be full must be dropped on EVERY shard — per-shard length
+    # filtering gave shard 0 one more batch than shard 1 (n=38, g=4: rows
+    # 36:38 fill shard 0's slice, shard 1's is empty), which deadlocks
+    # multi-host collectives
+    class DS38(DS):
+        def __len__(self):
+            return 38
+
+    counts = [
+        len(list(Loader(DS38(), 2, 8, num_shards=2, shard_id=s)))
+        for s in range(2)
+    ]
+    assert counts == [38 // 4, 38 // 4], counts

@@ -193,6 +193,101 @@ void build_nbr27(const int32_t* vox_coords, const int32_t* vox_batch,
   }
 }
 
+// Slot compaction of a 27-neighbor table (mirrors
+// ops/hierarchy.build_slots_tiered, the 3-tier form; the 2-tier
+// build_slots_split is the special case h2 == h_max, vh_cap == 0).
+//
+// nbr: (cap, 27) row-major, `cap` marks a missing neighbor (the transposed
+// orientation of the device's (27, V) tables — the host builder works
+// per-voxel rows).  Emits DEVICE layout, tap-major (H, V):
+//   src1/tap1 (h1, cap)             first h1 off-center hits, all voxels
+//   idxm (vm_cap,) / invm (cap,)    mid tier: voxels with cnt > h1,
+//   srcm/tapm (h2 - h1, vm_cap)     hits h1..h2-1
+//   idxh (vh_cap,)                  far tier: voxels with cnt > h2,
+//   srch/taph (h_max - h2, vh_cap)  hits h2..h_max-1
+// Empty slots: src = cap, tap = 27.  Returns the dropped-hit count
+// (hits past h_max or past a tier's compaction capacity).
+int64_t build_slots_tiered(const int32_t* nbr, int32_t cap, int32_t h1,
+                           int32_t h2, int32_t h_max, int32_t vm_cap,
+                           int32_t vh_cap, int32_t* src1, int32_t* tap1,
+                           int32_t* idxm, int32_t* invm, int32_t* srcm,
+                           int32_t* tapm, int32_t* idxh, int32_t* srch,
+                           int32_t* taph) {
+  std::vector<int32_t> cnt(cap, 0);
+  std::fill(src1, src1 + static_cast<size_t>(h1) * cap, cap);
+  std::fill(tap1, tap1 + static_cast<size_t>(h1) * cap, 27);
+
+  // pass 1: tier-1 slots + per-voxel hit counts
+#pragma omp parallel for schedule(static)
+  for (int32_t v = 0; v < cap; ++v) {
+    const int32_t* row = nbr + static_cast<size_t>(v) * 27;
+    int32_t h = 0;
+    for (int32_t k = 0; k < 27; ++k) {
+      if (k == 13 || row[k] >= cap) continue;
+      if (h < h1) {
+        src1[static_cast<size_t>(h) * cap + v] = row[k];
+        tap1[static_cast<size_t>(h) * cap + v] = k;
+      }
+      ++h;
+    }
+    cnt[v] = h;
+  }
+
+  // pass 2: compaction index maps (voxel order), overflow accounting
+  int64_t dropped = 0;
+  int32_t nm = 0, nh = 0;
+  std::fill(idxm, idxm + vm_cap, cap);
+  std::fill(invm, invm + cap, vm_cap);
+  std::fill(idxh, idxh + vh_cap, cap);
+  for (int32_t v = 0; v < cap; ++v) {
+    if (cnt[v] > h_max) dropped += cnt[v] - h_max;
+    if (cnt[v] > h1) {
+      if (nm < vm_cap) {
+        idxm[nm] = v;
+        invm[v] = nm;
+        ++nm;
+      } else {
+        dropped += std::min(cnt[v], h2) - h1;
+      }
+    }
+    if (cnt[v] > h2) {
+      if (nh < vh_cap) {
+        idxh[nh++] = v;
+      } else {
+        dropped += std::min(cnt[v], h_max) - h2;
+      }
+    }
+  }
+
+  // pass 3: fill the compacted tier tables
+  const int32_t hm = h2 - h1, hh = h_max - h2;
+  std::fill(srcm, srcm + static_cast<size_t>(hm) * vm_cap, cap);
+  std::fill(tapm, tapm + static_cast<size_t>(hm) * vm_cap, 27);
+  std::fill(srch, srch + static_cast<size_t>(hh) * vh_cap, cap);
+  std::fill(taph, taph + static_cast<size_t>(hh) * vh_cap, 27);
+  auto fill_tier = [&](const int32_t* idx, int32_t nrows, int32_t tier_cap,
+                       int32_t h_from, int32_t h_to, int32_t* src,
+                       int32_t* tap) {
+#pragma omp parallel for schedule(static)
+    for (int32_t r = 0; r < nrows; ++r) {
+      const int32_t* row = nbr + static_cast<size_t>(idx[r]) * 27;
+      int32_t h = 0;
+      for (int32_t k = 0; k < 27; ++k) {
+        if (k == 13 || row[k] >= cap) continue;
+        if (h >= h_from && h < h_to) {
+          src[static_cast<size_t>(h - h_from) * tier_cap + r] = row[k];
+          tap[static_cast<size_t>(h - h_from) * tier_cap + r] = k;
+        }
+        ++h;
+        if (h >= h_to) break;
+      }
+    }
+  };
+  fill_tier(idxm, nm, vm_cap, h1, h2, srcm, tapm);
+  if (hh > 0) fill_tier(idxh, nh, vh_cap, h2, h_max, srch, taph);
+  return dropped;
+}
+
 // Parent/child maps between a fine level and the coarse level built from
 // coords >> 1.  parent (cap_f,) i32 (missing -> cap_c);
 // off_id (cap_f,) i32; child (cap_c, 8) i32 (missing -> cap_f).

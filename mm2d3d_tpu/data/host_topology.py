@@ -175,11 +175,13 @@ def build_topology_host(
              if slot_caps is not None and level_idx < len(slot_caps) else None)
         if not h:
             return {}
+        # `nbr` is tap-major (27, V); the C++ builder wants voxel rows
+        nbr_rows = np.ascontiguousarray(nbr.T, np.int32)
         if isinstance(h, tuple) and len(h) == 5:
             h1, h2, h_max, vm_cap, vh_cap = h
             (s1, t1, im, invm, sm, tm, ih, sh, th,
-             dropped) = _build_slots_tiered_np(
-                nbr, h1, h2, h_max, min(vm_cap, level_cap),
+             dropped) = native.build_slots_tiered(
+                nbr_rows, h1, h2, h_max, min(vm_cap, level_cap),
                 min(vh_cap, level_cap),
             )
             return dict(slot_src=s1, slot_tap=t1, slot_overflow=dropped,
@@ -188,8 +190,10 @@ def build_topology_host(
                         slot_idx=ih, slot_src2=sh, slot_tap2=th)
         if isinstance(h, tuple):
             h_lo, h_max, vh_cap = h
-            s1, t1, idx, s2, t2, dropped = _build_slots_split_np(
-                nbr, h_lo, h_max, min(vh_cap, level_cap)
+            # 2-tier split = the tiered builder with h2 == h_max, no far tier
+            (s1, t1, idx, _invm, s2, t2, _ih, _sh, _th,
+             dropped) = native.build_slots_tiered(
+                nbr_rows, h_lo, h_max, h_max, min(vh_cap, level_cap), 0
             )
             return dict(slot_src=s1, slot_tap=t1, slot_overflow=dropped,
                         slot_idx=idx, slot_src2=s2, slot_tap2=t2)

@@ -72,6 +72,12 @@ def _load() -> Optional[ctypes.CDLL]:
             _i32p, _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _i32p, _i32p, _i32p,
         ]
+        lib.build_slots_tiered.restype = ctypes.c_int64
+        lib.build_slots_tiered.argtypes = [
+            _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -136,6 +142,37 @@ def build_nbr27(vox_coords, vox_batch, num_voxels: int, capacity: int,
         num_voxels, capacity, full_scale, nbr,
     )
     return nbr
+
+
+def build_slots_tiered(nbr_rows, h1: int, h2: int, h_max: int,
+                       vm_cap: int, vh_cap: int):
+    """Host mirror of ops.hierarchy.build_slots_tiered.
+
+    `nbr_rows` is (cap, 27) row-major (the transpose of the device's
+    (27, V) table); outputs are device-layout tap-major tables.  The
+    2-tier `build_slots_split` form is h2 == h_max with vh_cap == 0.
+    Returns (src1, tap1, idxm, invm, srcm, tapm, idxh, srch, taph,
+    dropped).
+    """
+    lib = _load()
+    assert lib is not None
+    nbr_rows = np.ascontiguousarray(nbr_rows, np.int32)
+    cap = nbr_rows.shape[0]
+    src1 = np.empty((h1, cap), np.int32)
+    tap1 = np.empty((h1, cap), np.int32)
+    idxm = np.empty((vm_cap,), np.int32)
+    invm = np.empty((cap,), np.int32)
+    srcm = np.empty((h2 - h1, vm_cap), np.int32)
+    tapm = np.empty((h2 - h1, vm_cap), np.int32)
+    idxh = np.empty((vh_cap,), np.int32)
+    srch = np.empty((h_max - h2, vh_cap), np.int32)
+    taph = np.empty((h_max - h2, vh_cap), np.int32)
+    dropped = lib.build_slots_tiered(
+        nbr_rows, cap, h1, h2, h_max, vm_cap, vh_cap,
+        src1, tap1, idxm, invm, srcm, tapm, idxh, srch, taph,
+    )
+    return (src1, tap1, idxm, invm, srcm, tapm, idxh, srch, taph,
+            np.int32(dropped))
 
 
 def build_transition(fine_coords, fine_batch, nvox_f, cap_f,

@@ -1,5 +1,6 @@
 """C++ host ops vs their device (jax) mirrors — must agree bit-for-bit."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -89,3 +90,50 @@ def test_image_ops(rng):
     dm_ref, lm_ref = build_depth_and_label_maps(idx, depths, labels, (15, 20))
     np.testing.assert_allclose(dm, dm_ref)
     np.testing.assert_array_equal(lm, lm_ref)
+
+
+def test_native_slots_match_numpy_and_device(rng):
+    """C++ build_slots_tiered == the numpy mirror == the device builder,
+    on a random topology with heavy-tailed hit counts (clustered coords
+    force many off-center neighbors)."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from mm2d3d_tpu.data.host_topology import (
+        _build_slots_split_np, _build_slots_tiered_np,
+    )
+    from mm2d3d_tpu.ops.hierarchy import build_slots_split, build_slots_tiered
+
+    fs, cap = 32, 512
+    coords = rng.randint(0, 12, (900, 3)).astype(np.int32)  # dense cluster
+    bidx = np.zeros(900, np.int32)
+    valid = np.ones(900, bool)
+    vc, vb, _, _, nvox = native.voxelize_dedup(coords, bidx, valid, fs, cap)
+    nbr_rows = native.build_nbr27(vc, vb, nvox, cap, fs)  # (cap, 27)
+    nbr = np.ascontiguousarray(nbr_rows.T)  # tap-major, like the device
+
+    h1, h2, h_max, vm, vh = 3, 6, 26, 96, 16
+    got = native.build_slots_tiered(nbr_rows, h1, h2, h_max, vm, vh)
+    ref = _build_slots_tiered_np(nbr, h1, h2, h_max, vm, vh)
+    dev = jax.tree_util.tree_map(
+        np.asarray, build_slots_tiered(jnp.asarray(nbr), h1, h2, h_max, vm, vh)
+    )
+    names = ["src1", "tap1", "idxm", "invm", "srcm", "tapm", "idxh",
+             "srch", "taph", "dropped"]
+    for name, g, r, d in zip(names, got, ref, dev):
+        np.testing.assert_array_equal(g, r, err_msg=f"native-vs-numpy {name}")
+        np.testing.assert_array_equal(g, d, err_msg=f"native-vs-device {name}")
+
+    # 2-tier split through the same C++ entry (h2 == h_max, no far tier)
+    s1, t1, idx, _, s2, t2, _, _, _, dropped = native.build_slots_tiered(
+        nbr_rows, 4, 26, 26, 64, 0
+    )
+    ref2 = _build_slots_split_np(nbr, 4, 26, 64)
+    dev2 = jax.tree_util.tree_map(
+        np.asarray, build_slots_split(jnp.asarray(nbr), 4, 26, 64)
+    )
+    for name, g, r, d in zip(
+        ["src1", "tap1", "idx", "src2", "tap2", "dropped"],
+        (s1, t1, idx, s2, t2, dropped), ref2, dev2,
+    ):
+        np.testing.assert_array_equal(g, r, err_msg=f"split native-vs-np {name}")
+        np.testing.assert_array_equal(g, d, err_msg=f"split native-vs-dev {name}")

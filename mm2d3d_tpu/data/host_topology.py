@@ -159,6 +159,7 @@ def build_topology_host(
     capacities: Optional[Sequence[int]] = None,
     batch_size: Optional[int] = None,
     slot_caps: Optional[Sequence[Optional[int]]] = "default",
+    slot_profile: str = "default",
     child_slot_caps=None,
 ) -> Tuple[VoxelGrid, Hierarchy]:
     assert native.available(), "native host ops unavailable"
@@ -168,7 +169,9 @@ def build_topology_host(
     if slot_caps == "default":
         from ..train.batch import default_slot_caps
 
-        slot_caps = default_slot_caps(num_levels, tuple(capacities))
+        slot_caps = default_slot_caps(
+            num_levels, tuple(capacities), profile=slot_profile
+        )
 
     def _slots_for(level_idx, nbr, level_cap):
         h = (slot_caps[level_idx]

@@ -25,9 +25,18 @@ def make_batch(
     full_scale: int = 4096,
     valid_fraction: float = 0.95,
     dtype=np.float32,
+    variant: str = "nuscenes",
 ) -> PointBatch:
     """LiDAR-like scene: ground plane + vertical structures, projected to a
-    virtual front camera."""
+    virtual front camera.
+
+    `variant` selects the beam pattern: "nuscenes" (32 rings, the flagship
+    benchmark geometry) or "kitti" (64 rings over a narrower elevation
+    span, the HDL-64E-style pattern of the SemanticKITTI/A2D2/vKITTI
+    scenarios at n_points ~10240) — denser rings pack voxel neighborhoods
+    tighter, which is what the capacity/slot-cap schedules must cover
+    (`train.batch.default_capacities` / `default_slot_caps`).
+    """
     b, n = batch_size, n_points
 
     img = rng.rand(b, height, width, 3).astype(dtype)
@@ -35,9 +44,15 @@ def make_batch(
     # Spinning-lidar beam structure (rings x azimuth): real scans are dense
     # along scan lines, so voxel neighborhoods are well-populated — uniform
     # random points would give a misleading ~96% empty-neighbor rate.
-    n_rings = 32
+    if variant == "kitti":
+        n_rings = 64
+        elev = np.linspace(-0.43, 0.035, n_rings)  # HDL-64E-like span
+    elif variant == "nuscenes":
+        n_rings = 32
+        elev = np.linspace(-0.42, 0.08, n_rings)  # elevation angles (rad)
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
     per_ring = n // n_rings
-    elev = np.linspace(-0.42, 0.08, n_rings)  # elevation angles (rad)
     az = np.linspace(-0.45, 0.45, per_ring)  # front-camera FoV azimuths
     elev_g, az_g = np.meshgrid(elev, az, indexing="ij")
     elev_f = np.broadcast_to(elev_g.reshape(1, -1), (b, n_rings * per_ring))

@@ -88,6 +88,7 @@ def build_task(cfg: Dict, num_classes: int, axis_name=None):
         axis_name=axis_name,
         model2d=model2d,
         model3d=model3d,
+        slot_profile=cfg["train"].get("slot_profile", "default"),
     )
     # model plugin metadata for the run record (reference logs signature +
     # pip dependencies per wrapped model, train.py:514-521)

@@ -102,7 +102,9 @@ def default_capacities(
 
 
 def default_slot_caps(
-    num_levels: int, capacities: Optional[Tuple[int, ...]] = None
+    num_levels: int,
+    capacities: Optional[Tuple[int, ...]] = None,
+    profile: str = "default",
 ) -> Tuple[Optional[Tuple[int, int, int]], ...]:
     """Per-level slot specs for the compacted submanifold conv.
 
@@ -157,6 +159,25 @@ def default_slot_caps(
         3: (4, 8, 26, 24, 6),
         4: (4, 8, 26, 24, 8),
     }
+    if profile == "dense":
+        # 64-beam HDL-64E-style scans (SemanticKITTI / A2D2 / vKITTI at
+        # n_points ~10240) pack voxel neighborhoods much tighter than the
+        # 32-beam flagship pattern — measured on data.synthetic
+        # variant="kitti" (batch 8, seeds 0-3): L0 >3 <=20.8k, >8 <=2.9k;
+        # L1 >4 <=15.4k, >8 <=6.1k; L2 >4 <=9.7k; L4 >4 <=3.5k.  The
+        # flagship fractions DROP tens of thousands of hits there (the
+        # tier caps bind), which silently corrupts gradients, so the
+        # KITTI-family configs select this >=1.5x-headroom plan via
+        # `train.slot_profile: dense`.
+        plan3 = {
+            0: (3, 8, 26, 30, 6),
+            1: (4, 8, 26, 30, 12),
+            2: (4, 8, 26, 32, 8),
+            3: (4, 8, 26, 30, 8),
+            4: (4, 8, 26, 34, 10),
+        }
+    elif profile != "default":
+        raise ValueError(f"unknown slot profile {profile!r}")
     specs = []
     for l in range(num_levels):
         v = capacities[l] if capacities is not None else 1 << 16
@@ -178,6 +199,7 @@ def build_topology(
     num_levels: int,
     capacities: Optional[Tuple[int, ...]] = None,
     slot_caps: Optional[Tuple[Optional[int], ...]] = "default",
+    slot_profile: str = "default",
 ) -> Tuple[VoxelGrid, Hierarchy]:
     """Voxelize the batch and build the sparse U-Net hierarchy.
 
@@ -191,7 +213,7 @@ def build_topology(
             coords.shape[0], num_levels, batch_size=batch.batch_size
         )
     if slot_caps == "default":
-        slot_caps = default_slot_caps(num_levels, capacities)
+        slot_caps = default_slot_caps(num_levels, capacities, profile=slot_profile)
     grid = voxelize(
         coords, bidx, mask, full_scale, capacity=capacities[0],
         presorted=batch.coords_sorted,

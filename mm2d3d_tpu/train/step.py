@@ -86,6 +86,9 @@ class MM2D3DTask:
         axis_name: Optional[str] = None,
         model2d=None,  # custom plugin instances (models.registry.load_model)
         model3d=None,
+        slot_profile: str = "default",  # slot-cap plan: "default" (32-beam
+        # nuScenes-style scans) or "dense" (64-beam KITTI-family scans —
+        # see train.batch.default_slot_caps)
     ):
         self.num_classes = num_classes
         self.class_weights = (
@@ -96,6 +99,7 @@ class MM2D3DTask:
         self.lambda_xm_trg = lambda_xm_trg
         self.full_scale = full_scale
         self.num_planes = num_planes
+        self.slot_profile = slot_profile
         self.axis_name = axis_name
 
         self.model2d = model2d or Net2DSeg(
@@ -135,7 +139,8 @@ class MM2D3DTask:
         # jitted as a whole: eager init would dispatch thousands of tiny ops
         # (catastrophic over a remote-TPU tunnel).
         def _init(rng, example):
-            grid, hier = build_topology(example, self.full_scale, self.num_planes)
+            grid, hier = build_topology(example, self.full_scale, self.num_planes,
+                                        slot_profile=self.slot_profile)
             _, feats, _, _, _ = flatten_points(example)
             r2, r3 = jax.random.split(rng)
             v2 = self.model2d.init(
@@ -223,9 +228,15 @@ class MM2D3DTask:
         # topology may be precomputed on the host (data.host_topology) and
         # shipped with the batch — identical arrays, zero device build time.
         if topo_src is None:
-            topo_src = build_topology(src, self.full_scale, self.num_planes)
+            topo_src = build_topology(
+                src, self.full_scale, self.num_planes,
+                slot_profile=self.slot_profile,
+            )
         if topo_trg is None:
-            topo_trg = build_topology(trg, self.full_scale, self.num_planes)
+            topo_trg = build_topology(
+                trg, self.full_scale, self.num_planes,
+                slot_profile=self.slot_profile,
+            )
         rng_src, rng_trg = jax.random.split(jax.random.fold_in(rng, state.step))
 
         _, _, labels_src, mask_src, _ = flatten_points(src)
@@ -343,7 +354,8 @@ class MM2D3DTask:
         """One eval batch: losses + 2D/3D/ensemble confusion-matrix updates
         (train.py:297-339)."""
         if topo is None:
-            topo = build_topology(batch, self.full_scale, self.num_planes)
+            topo = build_topology(batch, self.full_scale, self.num_planes,
+                                  slot_profile=self.slot_profile)
         _, _, labels, mask, _ = flatten_points(batch)
 
         p2, _, _, _ = self._fwd2d(state.params2d, state.stats2d, batch, False)
@@ -388,7 +400,8 @@ class MM2D3DTask:
     def viz_forward(self, state: TrainState, batch: PointBatch):
         """Small-output forward for qualitative figures (train.py:226-241):
         dense 2D argmax, lifted 2D/3D point argmaxes, the 3D confidence gate."""
-        topo = build_topology(batch, self.full_scale, self.num_planes)
+        topo = build_topology(batch, self.full_scale, self.num_planes,
+                                  slot_profile=self.slot_profile)
         p2, _, _, _ = self._fwd2d(state.params2d, state.stats2d, batch, False)
         p3, _, _, _ = self._fwd3d(state.params3d, state.stats3d, batch, *topo, False)
         b, n = batch.point_mask.shape

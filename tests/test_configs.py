@@ -71,6 +71,8 @@ def test_vkitti_composition():
     assert cfg["train"]["n_points"] == 10240
     assert cfg["dataset"]["name"] == "vkitti_semantic_kitti"
     assert cfg["dataset"]["specific"]["downsample"] == [10000]
+    # 64-beam scans need the dense slot-cap plan (default drops hits)
+    assert cfg["train"]["slot_profile"] == "dense"
 
 
 def test_build_task_rejects_unsupported_loss_targets():

@@ -244,6 +244,27 @@ def test_default_slot_caps_cover_flagship_scans():
             assert int(lvl.slot_overflow) == 0
 
 
+def test_dense_slot_profile_covers_kitti_scans():
+    """64-beam KITTI-family scans overflow the flagship tier caps (measured
+    ~34k dropped hits/batch — gradient-corrupting); the `dense` profile the
+    KITTI configs select must cover them with zero overflow."""
+    from mm2d3d_tpu.data.synthetic import make_batch
+    from mm2d3d_tpu.train.batch import build_topology
+
+    batch = jax.tree_util.tree_map(
+        jnp.asarray,
+        make_batch(np.random.RandomState(0), batch_size=4, height=64,
+                   width=64, n_points=10240, num_classes=10,
+                   full_scale=4096, variant="kitti"),
+    )
+    _, hier = jax.jit(
+        lambda b: build_topology(b, 4096, 7, slot_profile="dense")
+    )(batch)
+    for lvl in hier.levels:
+        if lvl.slot_overflow is not None:
+            assert int(lvl.slot_overflow) == 0
+
+
 def test_split_slot_conv_matches_dense(rng):
     """Split-phase slot conv (build_slots_split) == dense 27-tap conv on a
     densely occupied grid where many voxels exceed h_lo hits."""

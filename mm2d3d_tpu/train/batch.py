@@ -65,7 +65,10 @@ def flatten_points(batch: PointBatch):
 
 
 def default_capacities(
-    num_points: int, num_levels: int, batch_size: Optional[int] = None
+    num_points: int,
+    num_levels: int,
+    batch_size: Optional[int] = None,
+    profile: str = "default",
 ) -> Tuple[int, ...]:
     """Per-level voxel-row capacities.
 
@@ -84,14 +87,19 @@ def default_capacities(
     overflow the deep tables.  Overflowing voxels are dropped to the dump
     row (monitored as `train/voxel_overflow_levels`).
     """
+    # 64-beam scans (profile="dense", cf. default_slot_caps) keep more
+    # unique voxels per point at the tightly-capped L1/L2 (measured worst
+    # 0.54P / 0.30P vs the flagship 0.49P / 0.29P): widen those two levels
+    # to preserve >=1.28x headroom there.
+    l1_num, l2_num = (11, 7) if profile == "dense" else (10, 6)
     caps = []
     for l in range(num_levels):
         if l == 1:
             # measured occupancy ~P/2 (e.g. 32k of 65k points); 1.28x headroom
-            cap = (num_points * 5) >> 3
+            cap = (num_points * l1_num) >> 4
         elif l == 2:
             # measured ~0.29P (19k of 65k); 1.31x headroom
-            cap = (num_points * 3) >> 3
+            cap = (num_points * l2_num) >> 4
         else:
             cap = num_points >> max(0, l - 1)
         if batch_size is not None and l >= 3:
@@ -210,7 +218,8 @@ def build_topology(
     coords, _, _, mask, bidx = flatten_points(batch)
     if capacities is None:
         capacities = default_capacities(
-            coords.shape[0], num_levels, batch_size=batch.batch_size
+            coords.shape[0], num_levels, batch_size=batch.batch_size,
+            profile=slot_profile,
         )
     if slot_caps == "default":
         slot_caps = default_slot_caps(num_levels, capacities, profile=slot_profile)

@@ -187,6 +187,7 @@ class Trainer:
             self.init_or_resume(self._to_device(first), resume=resume)
 
         pending_logs = None  # (step, device logs) awaiting batched readback
+        self._overflow_warned = set()
         for epoch in range(self.start_epoch, self.max_epochs):
             self.source_loader.set_epoch(epoch)
             self.target_loader.set_epoch(epoch)
@@ -258,12 +259,26 @@ class Trainer:
         vals = np.asarray(
             jnp.stack([jnp.asarray(logs[k], jnp.float32) for k in keys])
         )  # ONE host transfer for all scalars
+        host = dict(zip(keys, map(float, vals)))
+        # capacity monitors: a scalar in the metric stream is easy to miss,
+        # and slot overflow corrupts GRADIENTS (train.batch.default_slot_caps)
+        for key, fix in (
+            ("train/nbr_slot_overflow",
+             "raise the slot caps (train.slot_profile: dense for 64-beam "
+             "scans, or explicit slot_caps)"),
+            ("train/voxel_overflow_levels",
+             "raise the level capacities (train.batch.default_capacities)"),
+        ):
+            if host.get(key, 0.0) > 0 and key not in self._overflow_warned:
+                self._overflow_warned.add(key)
+                print(
+                    f"WARNING: {key} = {host[key]:.0f} at step {step} — "
+                    f"dropped topology entries make the computed gradients "
+                    f"inconsistent with the forward; {fix}.",
+                    flush=True,
+                )
         self.logger.log_metrics(
-            {
-                **dict(zip(keys, map(float, vals))),
-                **self.task.current_lrs(step),
-            },
-            step,
+            {**host, **self.task.current_lrs(step)}, step,
         )
 
     def _log_images(self, batch, stage: str):

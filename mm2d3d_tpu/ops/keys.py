@@ -74,6 +74,32 @@ def batch_of(hi: jax.Array) -> jax.Array:
     return hi >> 6
 
 
+def _compact1by2(v: jax.Array) -> jax.Array:
+    """Inverse of `_part1by2`: collect bits 0,3,...,27 into the low 10 bits."""
+    v = v & jnp.uint32(0x09249249)
+    v = (v ^ (v >> 2)) & jnp.uint32(0x030C30C3)
+    v = (v ^ (v >> 4)) & jnp.uint32(0x0300F00F)
+    v = (v ^ (v >> 8)) & jnp.uint32(0xFF0000FF)
+    v = (v ^ (v >> 16)) & jnp.uint32(0x3FF)
+    return v
+
+
+def unpack(hi: jax.Array, lo: jax.Array):
+    """Inverse of `pack`: pair keys -> (coords (..., 3) int32, batch int32).
+
+    Pure bit arithmetic (fuses into any consumer graph) — lets dedup avoid
+    carrying coordinates through segment reductions: the key IS the
+    coordinate.  Output is garbage on INVALID keys; callers mask.
+    """
+    lo_u = lo.astype(jnp.uint32)
+    hi_u = hi.astype(jnp.uint32) & jnp.uint32(0x3F)  # morton bits 30..35
+    x = _compact1by2(lo_u >> 2) | (_compact1by2(hi_u >> 2) << 10)
+    y = _compact1by2(lo_u >> 1) | (_compact1by2(hi_u >> 1) << 10)
+    z = _compact1by2(lo_u) | (_compact1by2(hi_u) << 10)
+    coords = jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+    return coords, batch_of(hi)
+
+
 def mask_invalid(hi: jax.Array, lo: jax.Array, valid: jax.Array):
     """Replace keys of invalid entries with the INVALID sentinel."""
     hi = jnp.where(valid, hi, INVALID)

@@ -126,6 +126,16 @@ def dedup_sorted(
     )
 
 
+# Key-scatter dedup: build the voxel key table with ONE unique-indices value
+# scatter of the packed (hi, lo) pairs at segment starts, and DECODE coords
+# and batch from the key (`keys.unpack`) instead of carrying them through
+# three scatter-min segment reductions.  The earlier "gather-at-segment-
+# starts" variant (narrow index scatter + packed row gather) measured 27
+# scans/s SLOWER in the fused forward; this form has no gather and the
+# decode is pure fusable bit arithmetic.
+_KEY_SCATTER_DEDUP = True
+
+
 def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     p = hs.shape[0]
     v_cap = capacity if capacity is not None else p
@@ -156,26 +166,42 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     seg_m = jnp.minimum(jnp.maximum(seg_raw, 0), v_cap)
     coords_m = jnp.where(valid_s[:, None], coords_s, jnp.iinfo(jnp.int32).max)
 
-    # NB: a scatter-min("first row per segment") + packed-row-gather
-    # formulation is ~27% faster when the topology is jitted ALONE, but
-    # ~10 ms/step SLOWER inside the fused forward: XLA fuses these
-    # segment ops with the surrounding graph, the scatter+gather pair it
-    # cannot (same finding as the round-1 wide-row-scatter experiment;
-    # in-graph timings are what count).
     nseg = v_cap + 1
-    key_hi = jax.ops.segment_min(
-        hs, seg_m, num_segments=nseg, indices_are_sorted=True
-    )[:v_cap]
-    key_lo = jax.ops.segment_min(
-        ls, seg_m, num_segments=nseg, indices_are_sorted=True
-    )[:v_cap]
-    vox_coords = jax.ops.segment_min(
-        coords_m, seg_m, num_segments=nseg, indices_are_sorted=True
-    )[:v_cap]
-
     row_valid = jnp.arange(v_cap) < jnp.minimum(num_voxels, v_cap)
+    if _KEY_SCATTER_DEDUP:
+        # ONE unique-indices value scatter of the packed key pairs at
+        # segment starts (non-start rows index v_cap = out of bounds ->
+        # dropped, so the surviving indices are genuinely unique and the
+        # scatter lowers to plain stores, not read-modify-write minima);
+        # coords/batch are then DECODED from the key.
+        dst = jnp.where(is_new & (seg_raw < v_cap), seg_raw, v_cap)
+        packed = jnp.stack([hs, ls], axis=1)  # (P, 2)
+        table = (
+            jnp.full((v_cap, 2), K.INVALID, jnp.int32)
+            .at[dst].set(packed, mode="drop", unique_indices=True)
+        )
+        key_hi, key_lo = table[:, 0], table[:, 1]
+        vox_coords, vox_batch = K.unpack(key_hi, key_lo)
+    else:
+        # NB: a scatter-min("first row per segment") + packed-row-gather
+        # formulation is ~27% faster when the topology is jitted ALONE, but
+        # ~10 ms/step SLOWER inside the fused forward: XLA fuses these
+        # segment ops with the surrounding graph, the scatter+gather pair it
+        # cannot (same finding as the round-1 wide-row-scatter experiment;
+        # in-graph timings are what count).
+        key_hi = jax.ops.segment_min(
+            hs, seg_m, num_segments=nseg, indices_are_sorted=True
+        )[:v_cap]
+        key_lo = jax.ops.segment_min(
+            ls, seg_m, num_segments=nseg, indices_are_sorted=True
+        )[:v_cap]
+        vox_coords = jax.ops.segment_min(
+            coords_m, seg_m, num_segments=nseg, indices_are_sorted=True
+        )[:v_cap]
+        vox_batch = K.batch_of(key_hi)
+
     vox_coords = jnp.where(row_valid[:, None], vox_coords, 0)
-    vox_batch = jnp.where(row_valid, K.batch_of(key_hi), -1)
+    vox_batch = jnp.where(row_valid, vox_batch, -1)
 
     if with_counts:
         counts = jax.ops.segment_sum(

@@ -26,7 +26,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.lifting import lift_image_features
+from ..ops.pallas import head2d
 from .resnet2d import ResNet34Encoder, StemParams
+
+# Opt-in: fuse the composed head conv + crop + 5x5 pool into one Pallas
+# kernel (ops/pallas/head2d.py).  2x faster STANDALONE (6.5 vs 12.4 ms at
+# the flagship head size) but a clear LOSS in the fused forward (162 vs
+# 199 scans/s) — its halo BlockSpecs force the three full-res 64-channel
+# decoder-tail producers to materialize in HBM, which the XLA path avoids.
+# Kept opt-in for narrower-producer configs; see PERFORMANCE.md.
+# (A/B must be per-process: the task's inner jit caches the first trace.)
+import os as _os
+
+_PALLAS_HEAD = _os.environ.get("MM2D3D_PALLAS_HEAD", "0") != "0"
 
 
 def _shift_sum5(y: jax.Array, axis: int) -> jax.Array:
@@ -40,12 +52,25 @@ def _shift_sum5(y: jax.Array, axis: int) -> jax.Array:
     return out
 
 
+_POOL_BARRIERS = True
+
+
 def _avg_pool_5x5(x: jax.Array) -> jax.Array:
     # torch AvgPool2d((5,5), stride 1, padding 2) with count_include_pad=True:
     # zero-pad then divide by the full window size.  Separable 5x1 + 1x5 as
     # explicit shift-adds — exactly equal (diff ~1e-6), and 3.2x faster than
     # XLA's reduce_window lowering on this chip (1.66 -> 0.52 ms per head at
     # the flagship size).
+    #
+    # The optimization barriers pin the producer and the first pool pass:
+    # without them XLA fuses the producer (the full-width head conv) into
+    # EVERY shifted-slice read — the 5x5 pool re-runs it up to 25x
+    # (measured standalone: conv+pool+lift 15.6 ms fused vs 5.5 ms with
+    # the barriers at the flagship head size).
+    if _POOL_BARRIERS:
+        x = jax.lax.optimization_barrier(x)
+        x = jax.lax.optimization_barrier(_shift_sum5(x, 1))
+        return _shift_sum5(x, 2) * (1.0 / 25.0)
     return _shift_sum5(_shift_sum5(x, 1), 2) * (1.0 / 25.0)
 
 
@@ -210,11 +235,21 @@ class Net2DSeg(nn.Module):
         k_heads = jnp.concatenate([k_main[0, 0], k_aux[0, 0]], axis=-1)  # (64, 2nc)
         w12 = jnp.einsum("hwio,od->hwid", dec_k, k_heads)  # (3, 3, cat, 2nc)
         b12 = dec_b @ k_heads  # (2nc,)
-        y = jax.lax.conv_general_dilated(
-            x_cat.astype(self.compute_dtype), w12.astype(self.compute_dtype),
-            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32) + b12
-        y = _avg_pool_5x5(y[:, :h, :w, :])  # crop padding, pool both heads
+        hp = img.shape[1]
+        if _PALLAS_HEAD and head2d.supports(hp, img.shape[2], w, 2 * nc):
+            # conv + crop + pool in one VMEM-resident Pallas kernel, fed the
+            # three concat pieces directly (skips materializing x_cat too)
+            y = head2d.head_pool(
+                [depth_feats[0], x, rgb_feats[0]], w12, b12, h, w,
+                self.compute_dtype,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x_cat.astype(self.compute_dtype),
+                w12.astype(self.compute_dtype),
+                (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(jnp.float32) + b12
+            y = _avg_pool_5x5(y[:, :h, :w, :])  # crop padding, pool both
 
         if with_features:
             segm_last = (

@@ -35,10 +35,9 @@ from .resnet2d import ResNet34Encoder, StemParams
 # 199 scans/s) — its halo BlockSpecs force the three full-res 64-channel
 # decoder-tail producers to materialize in HBM, which the XLA path avoids.
 # Kept opt-in for narrower-producer configs; see PERFORMANCE.md.
-# (A/B must be per-process: the task's inner jit caches the first trace.)
+# Configured per-module via Net2DSeg(pallas_head=...), defaulting from
+# MM2D3D_PALLAS_HEAD at module CONSTRUCTION time.
 import os as _os
-
-_PALLAS_HEAD = _os.environ.get("MM2D3D_PALLAS_HEAD", "0") != "0"
 
 
 def _shift_sum5(y: jax.Array, axis: int) -> jax.Array:
@@ -152,6 +151,18 @@ class Net2DSeg(nn.Module):
     num_classes: int
     frozen_batch_norm: bool = False
     compute_dtype: Any = jnp.bfloat16
+    # explicit, trace-safe opt-in for the fused Pallas head (the env var is
+    # only the DEFAULT, read at module construction — toggling the env after
+    # import works, unlike the old module-level constant)
+    pallas_head: bool = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.pallas_head is None:
+            object.__setattr__(
+                self, "pallas_head",
+                _os.environ.get("MM2D3D_PALLAS_HEAD", "0") != "0",
+            )
+        super().__post_init__()
 
     @nn.compact
     def __call__(
@@ -236,7 +247,7 @@ class Net2DSeg(nn.Module):
         w12 = jnp.einsum("hwio,od->hwid", dec_k, k_heads)  # (3, 3, cat, 2nc)
         b12 = dec_b @ k_heads  # (2nc,)
         hp = img.shape[1]
-        if _PALLAS_HEAD and head2d.supports(hp, img.shape[2], w, 2 * nc):
+        if self.pallas_head and head2d.supports(hp, img.shape[2], h, w, 2 * nc):
             # conv + crop + pool in one VMEM-resident Pallas kernel, fed the
             # three concat pieces directly (skips materializing x_cat too)
             y = head2d.head_pool(

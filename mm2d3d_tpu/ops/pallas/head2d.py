@@ -58,9 +58,18 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def supports(hp: int, wp: int, w_real: int, c2: int) -> bool:
-    """Static-shape conditions for the fused kernel."""
-    return hp % _STRIP == 0 and c2 >= 8
+def supports(hp: int, wp: int, h_real: int, w_real: int, c2: int) -> bool:
+    """Static-shape conditions for the fused kernel.
+
+    The strip BlockSpec walks ``hp`` in 16-row steps and the output crop
+    slices ``[:h_real, :w_real]``, so the real extents must fit inside the
+    padded ones — otherwise the main block would index past the input."""
+    return (
+        hp % _STRIP == 0
+        and c2 >= 8
+        and 0 < h_real <= hp
+        and 0 < w_real <= wp
+    )
 
 
 def _kernel(*refs, hp, wp, h_real, w_real, c2, cins):
@@ -133,7 +142,9 @@ def _kernel(*refs, hp, wp, h_real, w_real, c2, cins):
     o_ref[0] = pooled
 
 
-def _head_pool_pallas(inputs, w9, b12, hp, wp, h_real, w_real, c2):
+def _head_pool_pallas(
+    inputs, w9, b12, hp, wp, h_real, w_real, c2, interpret=False
+):
     b = inputs[0].shape[0]
     cins = tuple(x.shape[-1] for x in inputs)
     n_strips = -(-h_real // _STRIP)
@@ -188,6 +199,7 @@ def _head_pool_pallas(inputs, w9, b12, hp, wp, h_real, w_real, c2):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,  # CPU parity tests (tests/test_pallas.py)
     )(*[a for triple in ([x, x, x] for x in args) for a in triple],
       w9, b12[None])
     return out[:, :h_real, :w_real, :]
@@ -225,7 +237,7 @@ def _head_pool(xs, w12, b12, h_real, w_real, compute_dtype):
     if (
         _on_tpu()
         and compute_dtype != jnp.float32
-        and supports(hp, wp, w_real, c2)
+        and supports(hp, wp, h_real, w_real, c2)
     ):
         w9 = jnp.concatenate(
             [w12[i, j] for i in range(3) for j in range(3)], axis=-1

@@ -170,11 +170,17 @@ def _dedup(hs, ls, coords_s, full_scale, capacity, perm, with_counts=True):
     row_valid = jnp.arange(v_cap) < jnp.minimum(num_voxels, v_cap)
     if _KEY_SCATTER_DEDUP:
         # ONE unique-indices value scatter of the packed key pairs at
-        # segment starts (non-start rows index v_cap = out of bounds ->
-        # dropped, so the surviving indices are genuinely unique and the
-        # scatter lowers to plain stores, not read-modify-write minima);
-        # coords/batch are then DECODED from the key.
-        dst = jnp.where(is_new & (seg_raw < v_cap), seg_raw, v_cap)
+        # segment starts; coords/batch are then DECODED from the key.
+        # Non-start rows each get a DISTINCT out-of-bounds dump index
+        # (v_cap + row) so the index vector is unique by construction —
+        # XLA documents scatter as undefined for duplicate indices under
+        # unique_indices=True, even dropped ones — and the scatter still
+        # lowers to plain stores, not read-modify-write minima.
+        dst = jnp.where(
+            is_new & (seg_raw < v_cap),
+            seg_raw,
+            v_cap + jnp.arange(p, dtype=jnp.int32),
+        )
         packed = jnp.stack([hs, ls], axis=1)  # (P, 2)
         table = (
             jnp.full((v_cap, 2), K.INVALID, jnp.int32)

@@ -42,6 +42,22 @@ def build_task(cfg: Dict, num_classes: int, axis_name=None):
             f"losses configured for unsupported target(s) {sorted(unknown)}; "
             "the cross-modal UDA step only produces 'segmentation' predictions"
         )
+    # class-weight/num_classes seam: jnp gather CLIPS out-of-bounds indices,
+    # so a 6-entry weight list against num_classes=10 would silently weight
+    # labels 6-9 with weight[5] — refuse instead of training wrong
+    cw = composer.class_weights("segmentation")
+    if isinstance(cw, str):
+        raise ValueError(
+            f"class weight {cw!r} is unresolved; 'compute' is resolved from "
+            "the source train split by the run driver (resolve_auto_params) "
+            "— pass explicit per-class weights when building a task directly"
+        )
+    if cw is not None and len(cw) != num_classes:
+        raise ValueError(
+            f"losses: {len(cw)} cross-entropy class weights but the dataset "
+            f"has num_classes={num_classes}; out-of-range labels would "
+            "silently gather clipped weights"
+        )
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         cfg["train"].get("compute_dtype", "bfloat16")
     ]
@@ -106,6 +122,37 @@ def build_task(cfg: Dict, num_classes: int, axis_name=None):
             ],
         }
     return task
+
+
+def resolve_auto_params(cfg: Dict, dm) -> None:
+    """Resolve data-dependent config placeholders in place.
+
+    - ``losses[*].args.weight: compute`` → log-smoothed class weights from
+      the SOURCE train split (``data.base.compute_class_weights`` — the same
+      recipe the reference used to derive its published lists,
+      ``lib/dataset/nuscenes_dataloader.py:421-441``).  This is how a new
+      scenario (e.g. A2D2→SemanticKITTI, which ships no experiment dir in
+      the reference) gets correct per-class weights without hand-editing.
+    - ``optimizer.lr_scheduler.total_steps: auto`` → ``max_epochs × steps
+      per epoch`` where steps/epoch is ``max(len(source), len(target))``
+      (max_size_cycle pairing, reference run.py:253).
+    """
+    for entry in cfg.get("losses", []):
+        if (
+            isinstance(entry, dict)
+            and entry.get("args", {}).get("weight") == "compute"
+        ):
+            from .data.base import compute_class_weights
+
+            w = compute_class_weights(dm.source_train.dataset)
+            entry["args"]["weight"] = [float(x) for x in w]
+            print(f"computed class weights: {entry['args']['weight']}")
+    steps_per_epoch = max(len(dm.source_train), len(dm.target_train))
+    for branch in cfg["models"].values():
+        sched = (branch.get("optimizer") or {}).get("lr_scheduler") or {}
+        if sched.get("total_steps") == "auto":
+            sched["total_steps"] = cfg["run"]["max_epochs"] * steps_per_epoch
+            print(f"total_steps=auto -> {sched['total_steps']}")
 
 
 def build_datamodule(cfg: Dict, num_shards: int = 1, shard_id: int = 0):
@@ -227,6 +274,7 @@ def main(argv=None):
         print(f"multi-host: process {proc_id}/{n_proc}, "
               f"{jax.local_device_count()} local devices")
     dm = build_datamodule(cfg, num_shards=n_proc, shard_id=proc_id)
+    resolve_auto_params(cfg, dm)
     task = build_task(cfg, dm.num_classes, axis_name=axis_name)
     logger.log_hyperparams({"models": task.model_info})
 
@@ -259,6 +307,7 @@ def main(argv=None):
         # validation pass would kill long runs (and, multi-host, hang the
         # other processes in collectives) over a budget knob
         strict_eval_points=cfg["train"].get("strict_eval_points", False),
+        strict_eval_overflow=cfg["train"].get("strict_eval_overflow", False),
         viz_dir=osp.join(out_dir, "figures"),
         # host topology pipelining pays off on PCIe-attached TPU hosts; over
         # a low-bandwidth tunnel the array transfer dominates - default off.

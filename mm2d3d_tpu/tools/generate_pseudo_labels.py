@@ -30,7 +30,9 @@ def _next_pow2(n: int) -> int:
     return 1 << max(8, (n - 1).bit_length())
 
 
-def generate(cfg: Dict, ckpt_name: str, out_path: str) -> List[Dict]:
+def generate(
+    cfg: Dict, ckpt_name: str, out_path: str, strict: bool = False
+) -> List[Dict]:
     import jax
     import jax.numpy as jnp
 
@@ -108,11 +110,17 @@ def generate(cfg: Dict, ckpt_name: str, out_path: str) -> List[Dict]:
                       state.stats3d, batch)
         overflow = int(raw.pop("slot_overflow"))
         if overflow:
-            print(
-                f"WARNING: scan {i}: {overflow} conv hits dropped by the "
+            msg = (
+                f"scan {i}: {overflow} conv hits dropped by the "
                 "slot-table cap — pseudo labels are approximate; raise "
-                "default_slot_caps"
+                "default_slot_caps (train.slot_profile: dense)"
             )
+            if strict:
+                # corrupted pseudo labels poison the whole SSDA/pselab run;
+                # strict mode refuses to write them (mirrors
+                # Trainer.strict_eval_overflow)
+                raise RuntimeError(msg)
+            print(f"WARNING: {msg}")
         # collate Morton-sorts points host-side; restore scan order via the
         # recorded permutation before slicing the kept rows
         perm = np.asarray(batch.point_perm[0])
@@ -148,13 +156,16 @@ def main(argv=None):
     parser.add_argument("--ckpt", default="best_2d",
                         help="checkpoint name: best_2d | best_3d | last")
     parser.add_argument("--out", required=True, help="output .npy path")
+    parser.add_argument("--strict", action="store_true",
+                        help="error (instead of warn) on slot overflow — "
+                        "refuse to write approximate pseudo labels")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
     from ..utils.config import load_config
 
     cfg = load_config(args.config, args.overrides)
-    generate(cfg, args.ckpt, args.out)
+    generate(cfg, args.ckpt, args.out, strict=args.strict)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,7 @@ class Trainer:
         class_palette=None,
         viz_dir: Optional[str] = None,
         strict_eval_points: bool = False,
+        strict_eval_overflow: bool = False,
         host_topology: bool = False,
         mesh=None,  # jax.sharding.Mesh for data-parallel training
     ):
@@ -123,6 +124,8 @@ class Trainer:
         # reference evaluates every in-bounds point), so surface it — and in
         # strict mode refuse to report a metric computed on truncated scans
         self.strict_eval_points = strict_eval_points
+        # same policy for dropped conv hits at eval (see _run_eval)
+        self.strict_eval_overflow = strict_eval_overflow
         if host_topology:
             from ..native import available
 
@@ -306,6 +309,10 @@ class Trainer:
             color_palette=self.class_palette,
             out_path=path,
         )
+        if self.logger is not None:
+            # route the figure to the experiment trackers too (reference
+            # train.py:226-241 logs them to W&B, not just to disk)
+            self.logger.log_image(f"{stage}/figure", path, self.global_step)
 
     # -- eval ----------------------------------------------------------------
 
@@ -371,6 +378,21 @@ class Trainer:
             )  # one transfer for the whole eval run
             for j, k in enumerate(keys):
                 out[f"{stage}/{k}"] = float(stacked[j].mean())
+
+        # slot overflow at EVAL corrupts the numbers users actually report
+        # (dropped conv hits change the predictions) — same loud treatment
+        # as truncated points above, not just an averaged scalar
+        overflow = out.get(f"{stage}/nbr_slot_overflow", 0.0)
+        if overflow > 0:
+            msg = (
+                f"{stage}: neighbour-slot overflow (mean {overflow:.1f} "
+                "dropped conv hits/batch) — the reported IoU is computed on "
+                "truncated sparse convolutions. Raise the slot caps "
+                "(train.slot_profile: dense, or explicit slot_caps)."
+            )
+            if self.strict_eval_overflow:
+                raise RuntimeError(msg)
+            print(f"WARNING: {msg}", flush=True)
         return out
 
     def validate(self, epoch: int) -> Dict[str, float]:

@@ -30,6 +30,11 @@ class BaseLogger:
     def log_artifacts(self, path: str):
         pass
 
+    def log_image(self, name: str, path: str, step: int):
+        """Qualitative figure (a PNG on disk) — reference train.py:226-241
+        logs these to the experiment tracker every N steps."""
+        pass
+
     def finish(self):
         pass
 
@@ -53,6 +58,9 @@ class StdoutLogger(BaseLogger):
     def log_hyperparams(self, params: Dict[str, Any]):
         print("hyperparams:", json.dumps(params, default=str)[:2000], flush=True)
 
+    def log_image(self, name, path, step):
+        print(f"figure {name} @ step {step}: {path}", flush=True)
+
 
 class JsonlLogger(BaseLogger):
     """Appends metrics to a JSONL file — the always-on machine-readable sink."""
@@ -66,6 +74,10 @@ class JsonlLogger(BaseLogger):
     def log_metrics(self, metrics: Dict[str, float], step: int):
         with open(self.path, "a") as f:
             f.write(json.dumps({"step": step, **metrics}) + "\n")
+
+    def log_image(self, name, path, step):
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"step": step, "image": {name: path}}) + "\n")
 
 
 class WandbLogger(BaseLogger):
@@ -88,6 +100,9 @@ class WandbLogger(BaseLogger):
 
     def log_artifacts(self, path):
         self.run.save(path)
+
+    def log_image(self, name, path, step):
+        self.run.log({name: self._wandb.Image(path)}, step=step)
 
     def finish(self):
         self.run.finish()
@@ -119,6 +134,11 @@ class MLflowLogger(BaseLogger):
     def log_artifacts(self, path):
         self._mlflow.log_artifacts(path)
 
+    def log_image(self, name, path, step):
+        # artifact path keyed by metric name + step (mlflow has no native
+        # stepped-image channel)
+        self._mlflow.log_artifact(path, artifact_path=f"figures/{name}")
+
     def finish(self):
         self._mlflow.end_run()
 
@@ -143,6 +163,10 @@ class LoggerCollection(BaseLogger):
     def log_artifacts(self, path):
         for lg in self.loggers:
             lg.log_artifacts(path)
+
+    def log_image(self, name, path, step):
+        for lg in self.loggers:
+            lg.log_image(name, path, step)
 
     def finish(self):
         for lg in self.loggers:

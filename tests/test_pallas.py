@@ -117,3 +117,74 @@ def test_bandmm_dw_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out.T),
                                np.asarray(ref).reshape(k * ci, co),
                                rtol=1e-4, atol=1e-4)
+
+
+def _head_inputs(rng, b, hp, wp, cins):
+    return [
+        jnp.asarray(rng.randn(b, hp, wp, c).astype(np.float32) * 0.5)
+        for c in cins
+    ]
+
+
+def test_head_pool_pallas_matches_ref(rng):
+    """Fused head kernel (interpreter mode) vs the XLA reference, over the
+    boundary shapes the BlockSpecs must mask: h_real not a multiple of 16,
+    w_real < wp, and a single-strip hp=16 input (ADVICE r2)."""
+    from mm2d3d_tpu.ops.pallas import head2d as H
+
+    for b, hp, wp, h_real, w_real, cins, c2 in [
+        (1, 48, 32, 37, 25, (8, 16, 8), 8),   # odd crop in both dims
+        (2, 16, 16, 16, 16, (8,), 8),         # single strip, no crop
+        (1, 32, 24, 17, 24, (16, 8), 16),     # h_real just past one strip
+    ]:
+        inputs = _head_inputs(rng, b, hp, wp, cins)
+        cin = sum(cins)
+        w12 = jnp.asarray(rng.randn(3, 3, cin, c2).astype(np.float32) * 0.2)
+        b12 = jnp.asarray(rng.randn(c2).astype(np.float32))
+        ref = H._head_pool_ref(inputs, w12, b12, h_real, w_real, jnp.float32)
+        w9 = jnp.concatenate(
+            [w12[i, j] for i in range(3) for j in range(3)], axis=-1
+        )
+        out = H._head_pool_pallas(
+            inputs, w9, b12, hp, wp, h_real, w_real, c2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_head_pool_grad_matches_ref(rng):
+    """head_pool's custom VJP == direct autodiff through the reference."""
+    from mm2d3d_tpu.ops.pallas import head2d as H
+
+    b, hp, wp, h_real, w_real, cins, c2 = 1, 32, 16, 21, 13, (8, 8), 8
+    inputs = _head_inputs(rng, b, hp, wp, cins)
+    cin = sum(cins)
+    w12 = jnp.asarray(rng.randn(3, 3, cin, c2).astype(np.float32) * 0.2)
+    b12 = jnp.asarray(rng.randn(c2).astype(np.float32))
+    cot = jnp.asarray(rng.randn(b, h_real, w_real, c2).astype(np.float32))
+
+    def loss_pool(xs, w, bb):
+        return jnp.sum(H.head_pool(xs, w, bb, h_real, w_real, jnp.float32) * cot)
+
+    def loss_ref(xs, w, bb):
+        return jnp.sum(
+            H._head_pool_ref(list(xs), w, bb, h_real, w_real, jnp.float32) * cot
+        )
+
+    g_pool = jax.grad(loss_pool, argnums=(0, 1, 2))(tuple(inputs), w12, b12)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(tuple(inputs), w12, b12)
+    for a, r in zip(jax.tree_util.tree_leaves(g_pool),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_head_pool_supports_rejects_oversize_crop():
+    from mm2d3d_tpu.ops.pallas import head2d as H
+
+    assert H.supports(32, 16, 32, 16, 8)
+    assert not H.supports(32, 16, 33, 16, 8)   # h_real > hp
+    assert not H.supports(32, 16, 32, 17, 8)   # w_real > wp
+    assert not H.supports(24, 16, 24, 16, 8)   # hp not strip-aligned
+    assert not H.supports(32, 16, 0, 16, 8)    # empty crop

@@ -34,7 +34,7 @@ def main():
 
     fns = {}
     for flag in (False, True):
-        N2._PALLAS_HEAD = flag
+        task.model2d = task.model2d.clone(pallas_head=flag)
         fns[flag] = jax.jit(forward)
         drain(fns[flag](*p, db))
 

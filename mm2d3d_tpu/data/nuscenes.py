@@ -65,6 +65,7 @@ class NuScenesLidarSeg(ScanListDataset):
         reduce_factor: int = 1,
         camera_coords: bool = False,
         use_rgb: bool = True,
+        image_cache_dir: Optional[str] = None,
     ):
         super().__init__(
             split, preprocess_dir, merge_classes=merge_classes,
@@ -72,6 +73,19 @@ class NuScenesLidarSeg(ScanListDataset):
             reduce_factor=reduce_factor,
         )
         self.nuscenes_dir = nuscenes_dir
+        # Optional decoded-image cache (data.image_cache): replaces the
+        # per-sample JPEG decode + resize — the dominant host cost — with
+        # one small .npy read.  Built once via tools/cache_images.
+        self._image_cache = None
+        if image_cache_dir:
+            from .image_cache import ImageCache
+
+            self._image_cache = ImageCache(image_cache_dir)
+            if resize and tuple(self._image_cache.resize) != tuple(resize):
+                raise ValueError(
+                    f"image cache resolution {self._image_cache.resize} != "
+                    f"dataset resize {tuple(resize)}; rebuild the cache"
+                )
         self.scale = scale
         self.full_scale = full_scale
         self.resize = resize
@@ -96,15 +110,24 @@ class NuScenesLidarSeg(ScanListDataset):
         intrinsics = np.asarray(rec["calib"]["cam_intrinsic"], np.float64).copy()
 
         points_img = rec["points_img"].copy()
-        image = load_image(osp.join(self.nuscenes_dir, rec["camera_path"]))
-        in_size = (image.shape[1], image.shape[0])  # (W, H)
+        image = None
+        if self._image_cache is not None:
+            hit = self._image_cache.get(rec["camera_path"])
+            if hit is not None:
+                image, in_size = hit  # resized uint8 + original (W, H)
+        if image is None:
+            image = load_image(osp.join(self.nuscenes_dir, rec["camera_path"]))
+            in_size = (image.shape[1], image.shape[0])  # (W, H)
+            if self.resize and in_size != tuple(self.resize):
+                assert in_size[0] > self.resize[0], "never enlarge images"
+                image = A.bilinear_resize(
+                    image, (self.resize[1], self.resize[0])
+                )
 
         if self.resize and in_size != tuple(self.resize):
-            assert in_size[0] > self.resize[0], "never enlarge images"
             points_img = A.rescale_points_img(
                 points_img, in_size, tuple(self.resize)
             )
-            image = A.bilinear_resize(image, (self.resize[1], self.resize[0]))
             intrinsics[:2] /= in_size[0] / self.resize[0]
 
         img_indices = points_img.astype(np.int64)

@@ -75,6 +75,7 @@ def load_datamodule(
                 preprocess_dir=cfg["preprocess_dir"],
                 nuscenes_dir=cfg.get("nuscenes_dir", ""),
                 pselab_paths=cfg.get("pselab_paths"),
+                image_cache_dir=cfg.get("image_cache_dir"),
                 output_orig=not train,
                 **kw,
                 **shared_kw,

@@ -26,6 +26,7 @@ def make_batch(
     valid_fraction: float = 0.95,
     dtype=np.float32,
     variant: str = "nuscenes",
+    separable: bool = False,
 ) -> PointBatch:
     """LiDAR-like scene: ground plane + vertical structures, projected to a
     virtual front camera.
@@ -36,6 +37,14 @@ def make_batch(
     scenarios at n_points ~10240) — denser rings pack voxel neighborhoods
     tighter, which is what the capacity/slot-cap schedules must cover
     (`train.batch.default_capacities` / `default_slot_caps`).
+
+    `separable=True` makes the task LEARNABLE instead of random-labeled:
+    labels follow the scene geometry (ground vs walls binned by depth) and
+    the image is painted with a per-class color at each projected point, so
+    both branches (2D from pixels, 3D from RGB point feats + geometry) can
+    reach ~1.0 mIoU.  Used by the end-to-end learning test
+    (tests/test_learning.py) — wrong-but-finite gradients anywhere in the
+    stack show up as a busted mIoU there.
     """
     b, n = batch_size, n_points
 
@@ -69,6 +78,7 @@ def make_batch(
         wid = rng.rand(b, 1) * 0.1 + 0.02
         hit = np.abs(az_f - az0) < wid
         rng_range = np.where(hit, np.minimum(rng_range, wall_z), rng_range)
+    wall_mask = (rng_range < np.clip(ground_r, 2.0, 120.0) - 1e-3)[:, :n]
     rng_range = rng_range + rng.randn(b, n_rings * per_ring) * 0.02  # sensor noise
 
     zc = (rng_range * np.cos(elev_f) * np.cos(az_f))[:, :n]
@@ -79,6 +89,7 @@ def make_batch(
         zc = np.concatenate([zc, zc[:, :extra]], 1)
         xc = np.concatenate([xc, xc[:, :extra]], 1)
         yc = np.concatenate([yc, yc[:, :extra]], 1)
+        wall_mask = np.concatenate([wall_mask, wall_mask[:, :extra]], 1)
     zc = np.clip(zc, 2.0, 120.0)
     pts = np.stack([xc, yc, zc], -1).astype(np.float32)
 
@@ -102,9 +113,32 @@ def make_batch(
     point_mask = np.zeros((b, n), bool)
     point_mask[:, :n_valid] = True
 
-    seg_label = rng.randint(0, num_classes, (b, n)).astype(np.int32)
-    seg_label[rng.rand(b, n) < 0.05] = -100  # ignore sprinkles
-    seg_label[~point_mask] = -100
+    if separable:
+        # geometry-correlated labels: ground = class 0, walls binned by
+        # depth into classes 1..num_classes-1; image painted with the class
+        # color at each projected point so the 2D branch is separable too
+        wall_cls = 1 + np.minimum(
+            (zc / 12.0).astype(np.int32), num_classes - 2
+        )
+        seg_label = np.where(wall_mask, wall_cls, 0).astype(np.int32)
+        seg_label[~point_mask] = -100
+        palette = (
+            np.stack(
+                [np.linspace(0.9, 0.1, num_classes),
+                 np.linspace(0.1, 0.9, num_classes),
+                 (np.arange(num_classes) % 2).astype(np.float64)], 1
+            )
+        ).astype(dtype)
+        img *= 0.1  # dim background noise
+        for i in range(b):
+            ok = seg_label[i] >= 0
+            img[i, img_indices[i, ok, 0], img_indices[i, ok, 1]] = (
+                palette[seg_label[i, ok]]
+            )
+    else:
+        seg_label = rng.randint(0, num_classes, (b, n)).astype(np.int32)
+        seg_label[rng.rand(b, n) < 0.05] = -100  # ignore sprinkles
+        seg_label[~point_mask] = -100
 
     feats = np.take_along_axis(
         img.reshape(b, -1, 3),

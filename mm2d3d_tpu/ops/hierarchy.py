@@ -388,6 +388,45 @@ def build_slots_tiered(
     return src1, tap1, idxm, invm, srcm, tapm, idxh, srch, taph, dropped
 
 
+def finish_slots_tiered(
+    nbr: jax.Array, cnt: jax.Array, h1: int, h2: int, h_max: int,
+    vm_cap: int, vh_cap: int,
+):
+    """The overflow tiers of `build_slots_tiered`, given a precomputed
+    dense table and hit count (from the fused propagation kernel, which
+    already emitted tier 1).  Returns
+    (idxm, invm, srcm, tapm, idxh, srch, taph, dropped)."""
+    v = nbr.shape[1]
+    center = _offset_index(0, 0, 0)
+    off = jnp.asarray(np.delete(np.arange(27), center), jnp.int32)
+    nbr_off = jnp.take(nbr, off, axis=0)  # (26, V)
+    idxm, invm, srcm, tapm, un_m = _rank_slots_compacted(
+        nbr_off, cnt, v, h1, h2, vm_cap
+    )
+    idxh, _, srch, taph, un_h = _rank_slots_compacted(
+        nbr_off, cnt, v, h2, h_max, vh_cap
+    )
+    over_tail = jnp.sum(jnp.maximum(cnt - h_max, 0))
+    dropped = over_tail + un_m + un_h
+    return idxm, invm, srcm, tapm, idxh, srch, taph, dropped
+
+
+def finish_slots_split(
+    nbr: jax.Array, cnt: jax.Array, h_lo: int, h_max: int, vh_cap: int
+):
+    """The overflow tier of `build_slots_split`, given a precomputed dense
+    table and hit count.  Returns (idx_hi, src2, tap2, dropped)."""
+    v = nbr.shape[1]
+    center = _offset_index(0, 0, 0)
+    off = jnp.asarray(np.delete(np.arange(27), center), jnp.int32)
+    nbr_off = jnp.take(nbr, off, axis=0)
+    idx_hi, _, src2, tap2, un = _rank_slots_compacted(
+        nbr_off, cnt, v, h_lo, h_max, vh_cap
+    )
+    over_tail = jnp.sum(jnp.maximum(cnt - h_max, 0))
+    return idx_hi, src2, tap2, over_tail + un
+
+
 def build_child_slots(child: jax.Array, vf: int, h_lo: int, vh_cap: int):
     """Split-phase compaction of a (Vc, 8) child table (cf.
     `build_slots_split`, specialized to the strided conv's 8 taps).
@@ -417,47 +456,33 @@ def build_child_slots(child: jax.Array, vf: int, h_lo: int, vh_cap: int):
     return src1, tap1, idx_hi, src2, tap2, dropped
 
 
-def propagate_nbr(
+def _propagate_candidates(
     fine: VoxelGrid, trans: LevelTransition, nbr_c: jax.Array
 ) -> jax.Array:
-    """Fine-level 27-neighbor table derived from the coarse level's table.
+    """The gather stage of octree propagation: per fine voxel, the child
+    tables of its 2x2x2 parent-block corners, V-minor -> (8, 8, Vf).
 
-    Octree propagation: a fine voxel's neighbor t = c + d has parent
-    (c + d) >> 1, which per axis is (c >> 1) + par - 1 + a with
-    par = c & 1 and a in {0, 1} — i.e. every candidate lies in a 2x2x2
-    block of the parent's coarse neighborhood.  So the whole table needs
-    only ONE (Vf, 27) row gather of the parent's coarse neighbors, ONE
-    (8, Vf, 8) row gather of child tables, and parity-driven vector
-    selects — no binary searches.  On-chip this is ~5x cheaper than
-    searching the sorted table at every level (searches and scatters are
-    the expensive ops on TPU; selects are nearly free).
+    ONE (Vf, 27) row gather of the parent's coarse neighbors (dumped
+    parents hit the sentinel row), 8x7 parity selects picking the block
+    corners, then ONE (8, Vf, 8) row gather of child tables.  These
+    descriptor-bound gathers are the hardware floor of propagation; the
+    select/slot stage after them runs either as XLA selects
+    (`propagate_nbr`) or fused in the Pallas kernel
+    (`propagate_nbr_slots`).
 
-    Caveat: if the coarse level overflowed its capacity and a fine row's
-    parent was dropped, that row loses its off-center neighbors (its
-    down-conv contribution is dropped by the same event, so the regimes
-    coincide; size capacities to avoid overflow).
-
-    Layout note: tables are tap-major (27, V).  Gathers produce row-major
-    (rows, 27)/(rows, 8) blocks, which are immediately transposed back to
-    V-minor — the parity selects then read dense (Vf,) vector rows instead
-    of lane-padded narrow columns (~3x faster end to end).
-
-    Args:
-      fine: the fine-level voxel grid.
-      trans: fine->coarse transition (`parent`, `child`).
-      nbr_c: (27, Vc) neighbor table of the coarse level.
-    Returns: (27, Vf) neighbor table; Vf = missing.
+    Layout note: gathers produce row-major (rows, 27)/(rows, 8) blocks,
+    which are immediately transposed back to V-minor — the parity selects
+    then read dense (Vf,) vector rows instead of lane-padded narrow
+    columns (~3x faster end to end).
     """
     vf = fine.capacity
     vc = nbr_c.shape[1]
-    rows = jnp.arange(vf, dtype=jnp.int32)
     par = fine.coords & 1
     parx = par[:, 0] == 1
     pary = par[:, 1] == 1
     parz = par[:, 2] == 1
 
     def tree(c):
-        """3-level parity select over a {(px, py, pz): (Vf,)} candidate dict."""
         def m(b, c0, c1):
             return jnp.where(b, c1, c0)
 
@@ -484,13 +509,66 @@ def propagate_nbr(
         }
         pns.append(tree(cand))
     child_pad = jnp.concatenate([trans.child, jnp.full((1, 8), vf, jnp.int32)], 0)
-    crows_t = child_pad[jnp.stack(pns)].transpose(0, 2, 1)  # (8, 8, Vf)
+    return child_pad[jnp.stack(pns)].transpose(0, 2, 1)  # (8, 8, Vf)
 
-    def axis_sel(d, p):
-        """Per-axis (parent-block index a, child slot s) for tap offset d."""
-        a = 0 if d == -1 else (1 if d == 1 else 1 - p)
-        s = p if d == 0 else 1 - p
-        return a, s
+
+def _axis_sel(d: int, p: int):
+    """Per-axis (parent-block index a, child slot s) for tap offset d."""
+    a = 0 if d == -1 else (1 if d == 1 else 1 - p)
+    s = p if d == 0 else 1 - p
+    return a, s
+
+
+def propagate_nbr(
+    fine: VoxelGrid, trans: LevelTransition, nbr_c: jax.Array
+) -> jax.Array:
+    """Fine-level 27-neighbor table derived from the coarse level's table.
+
+    Octree propagation: a fine voxel's neighbor t = c + d has parent
+    (c + d) >> 1, which per axis is (c >> 1) + par - 1 + a with
+    par = c & 1 and a in {0, 1} — i.e. every candidate lies in a 2x2x2
+    block of the parent's coarse neighborhood.  So the whole table needs
+    only the two gathers of `_propagate_candidates` plus parity-driven
+    vector selects — no binary searches.  On-chip this is ~5x cheaper
+    than searching the sorted table at every level (searches and scatters
+    are the expensive ops on TPU; selects are nearly free).
+
+    Caveat: if the coarse level overflowed its capacity and a fine row's
+    parent was dropped, that row loses its off-center neighbors (its
+    down-conv contribution is dropped by the same event, so the regimes
+    coincide; size capacities to avoid overflow).
+
+    This is the XLA select-tree form (CPU / reference path; the TPU
+    hierarchy build uses the fused Pallas kernel via
+    `propagate_nbr_slots`, which also emits the tier-1 slot tables).
+
+    Args:
+      fine: the fine-level voxel grid.
+      trans: fine->coarse transition (`parent`, `child`).
+      nbr_c: (27, Vc) neighbor table of the coarse level.
+    Returns: (27, Vf) neighbor table; Vf = missing.
+    """
+    vf = fine.capacity
+    rows = jnp.arange(vf, dtype=jnp.int32)
+    par = fine.coords & 1
+    parx = par[:, 0] == 1
+    pary = par[:, 1] == 1
+    parz = par[:, 2] == 1
+
+    def tree(c):
+        """3-level parity select over a {(px, py, pz): (Vf,)} candidate dict."""
+        def m(b, c0, c1):
+            return jnp.where(b, c1, c0)
+
+        return m(
+            parx,
+            m(pary, m(parz, c[0, 0, 0], c[0, 0, 1]),
+              m(parz, c[0, 1, 0], c[0, 1, 1])),
+            m(pary, m(parz, c[1, 0, 0], c[1, 0, 1]),
+              m(parz, c[1, 1, 0], c[1, 1, 1])),
+        )
+
+    crows_t = _propagate_candidates(fine, trans, nbr_c)  # (8, 8, Vf)
 
     cols = []
     for dx, dy, dz in OFFSETS_27.tolist():
@@ -499,13 +577,51 @@ def propagate_nbr(
             continue
         cand = {}
         for px, py, pz in itertools.product((0, 1), repeat=3):
-            axx, sx = axis_sel(dx, px)
-            ayy, sy = axis_sel(dy, py)
-            azz, sz = axis_sel(dz, pz)
+            axx, sx = _axis_sel(dx, px)
+            ayy, sy = _axis_sel(dy, py)
+            azz, sz = _axis_sel(dz, pz)
             i = axx * 4 + ayy * 2 + azz
             cand[(px, py, pz)] = crows_t[i, sx * 4 + sy * 2 + sz]
         cols.append(tree(cand))
     return jnp.stack(cols, axis=0)  # (27, Vf)
+
+
+def propagate_nbr_slots(
+    fine: VoxelGrid,
+    trans: LevelTransition,
+    nbr_c: jax.Array,
+    h1: int,
+    interpret: bool = False,
+):
+    """Fused propagation: neighbor table + tier-1 slots + hit counts.
+
+    Same gathers as `propagate_nbr` (`_propagate_candidates`), then ONE
+    Pallas pass (`ops.pallas.propagate`) replaces the ~350 dependent XLA
+    select/compare ops of the select trees and `_rank_slots` tier-1
+    extraction — the VPU work XLA runs ~10x off roofline as discrete HLOs.
+
+    Returns (nbr (27, Vf), src1 (h1, Vf), tap1 (h1, Vf), cnt (Vf,)),
+    bit-identical to `propagate_nbr` + `_rank_slots` (tested).
+    """
+    from .pallas.propagate import _TILE, propagate_slots_kernel
+
+    vf = fine.capacity
+    crows_t = _propagate_candidates(fine, trans, nbr_c)  # (8, 8, Vf)
+    par = (fine.coords & 1).T.astype(jnp.int32)  # (3, Vf)
+    valid = fine.valid.astype(jnp.int32)[None, :]  # (1, Vf)
+
+    vp = -(-vf // _TILE) * _TILE
+    if vp != vf:
+        pad = vp - vf
+        crows_t = jnp.pad(crows_t, ((0, 0), (0, 0), (0, pad)),
+                          constant_values=vf)
+        par = jnp.pad(par, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+
+    nbr, src1, tap1, cnt = propagate_slots_kernel(
+        crows_t, par, valid, h1=h1, vf=vf, interpret=interpret
+    )
+    return nbr[:, :vf], src1[:, :vf], tap1[:, :vf], cnt[0, :vf]
 
 
 def _level_from_grid(grid: VoxelGrid, nbr: Optional[jax.Array] = None) -> GridLevel:
@@ -570,6 +686,7 @@ def build_hierarchy(
     slot_caps: Optional[Sequence[Optional[int]]] = None,
     num_batches: Optional[int] = None,
     child_slot_caps=None,
+    fused_propagate: Optional[bool] = None,
 ) -> Hierarchy:
     """Build all U-Net levels from the level-0 voxel grid.
 
@@ -594,6 +711,10 @@ def build_hierarchy(
         gather rows saved is outweighed by table construction plus the
         extra kernel launches (fused fwd 127.5 -> 123.1 scans/s, train step
         315 -> 323 ms).  Kept opt-in for shapes where the trade flips.
+      fused_propagate: run the propagation select trees + tier-1 slot
+        extraction in the fused Pallas kernel (`propagate_nbr_slots`).
+        None = auto: on for TPU backends when the level has a slot spec,
+        off elsewhere (the XLA select-tree path is the CPU reference).
     """
     grids = [grid]
     transitions = []
@@ -619,22 +740,47 @@ def build_hierarchy(
         grids.append(grid_c)
         transitions.append(trans)
 
+    def spec_at(l):
+        if slot_caps is not None and l < len(slot_caps):
+            return slot_caps[l]
+        return None
+
+    if fused_propagate is None:
+        from .pallas.bandmm import _on_tpu
+
+        fused_propagate = _on_tpu()
+
     nbrs = [None] * num_levels
+    tier1 = [None] * num_levels  # (src1, tap1, cnt) from the fused kernel
     nbrs[-1] = build_nbr(grids[-1], num_batches=num_batches)
     for l in range(num_levels - 2, -1, -1):
-        nbrs[l] = propagate_nbr(grids[l], transitions[l], nbrs[l + 1])
+        h = spec_at(l)
+        h1 = h[0] if isinstance(h, tuple) else h
+        if fused_propagate and h1:
+            nbrs[l], s1, t1, cnt = propagate_nbr_slots(
+                grids[l], transitions[l], nbrs[l + 1], h1
+            )
+            tier1[l] = (s1, t1, cnt)
+        else:
+            nbrs[l] = propagate_nbr(grids[l], transitions[l], nbrs[l + 1])
 
     levels = []
     for l, (g, n) in enumerate(zip(grids, nbrs)):
         lev = _level_from_grid(g, nbr=n)
-        h = slot_caps[l] if slot_caps is not None and l < len(slot_caps) else None
+        h = spec_at(l)
         if isinstance(h, tuple) and len(h) == 5:
             # 3-tier spec (h1, h2, h_max, vm_cap, vh_cap)
             h1, h2, h_max, vm_cap, vh_cap = h
-            s1, t1, im, invm, sm, tm, ih, sh, th, dropped = build_slots_tiered(
-                n, h1, h2, h_max, min(vm_cap, g.capacity),
-                min(vh_cap, g.capacity),
-            )
+            vm_cap, vh_cap = min(vm_cap, g.capacity), min(vh_cap, g.capacity)
+            if tier1[l] is not None:
+                s1, t1, cnt = tier1[l]
+                im, invm, sm, tm, ih, sh, th, dropped = finish_slots_tiered(
+                    n, cnt, h1, h2, h_max, vm_cap, vh_cap
+                )
+            else:
+                s1, t1, im, invm, sm, tm, ih, sh, th, dropped = (
+                    build_slots_tiered(n, h1, h2, h_max, vm_cap, vh_cap)
+                )
             lev = lev.replace(
                 slot_src=s1, slot_tap=t1, slot_overflow=dropped,
                 slot_idxm=im, slot_invm=invm, slot_srcm=sm, slot_tapm=tm,
@@ -642,15 +788,26 @@ def build_hierarchy(
             )
         elif isinstance(h, tuple):  # split-phase spec (h_lo, h_max, vh_cap)
             h_lo, h_max, vh_cap = h
-            s1, t1, idx, s2, t2, dropped = build_slots_split(
-                n, h_lo, h_max, min(vh_cap, g.capacity)
-            )
+            vh_cap = min(vh_cap, g.capacity)
+            if tier1[l] is not None:
+                s1, t1, cnt = tier1[l]
+                idx, s2, t2, dropped = finish_slots_split(
+                    n, cnt, h_lo, h_max, vh_cap
+                )
+            else:
+                s1, t1, idx, s2, t2, dropped = build_slots_split(
+                    n, h_lo, h_max, vh_cap
+                )
             lev = lev.replace(
                 slot_src=s1, slot_tap=t1, slot_overflow=dropped,
                 slot_idx=idx, slot_src2=s2, slot_tap2=t2,
             )
         elif h:
-            src, tap, dropped = build_slots(n, h)
-            lev = lev.replace(slot_src=src, slot_tap=tap, slot_overflow=dropped)
+            if tier1[l] is not None:
+                s1, t1, cnt = tier1[l]
+                dropped = jnp.sum(jnp.maximum(cnt - h, 0))
+            else:
+                s1, t1, dropped = build_slots(n, h)
+            lev = lev.replace(slot_src=s1, slot_tap=t1, slot_overflow=dropped)
         levels.append(lev)
     return Hierarchy(levels=tuple(levels), transitions=tuple(transitions))

@@ -155,6 +155,17 @@ def resolve_auto_params(cfg: Dict, dm) -> None:
             print(f"total_steps=auto -> {sched['total_steps']}")
 
 
+def resolve_num_workers(value) -> int:
+    """``train.num_workers: auto`` -> cpu_count() // 4 (the reference's
+    DataLoader default, ``lib/dataset/__init__.py:161``), floored to 0 on
+    tiny hosts where a fork pool costs more than it parallelizes.  Ints
+    pass through."""
+    if value == "auto":
+        n = os.cpu_count() or 1
+        return n // 4 if n >= 4 else 0
+    return int(value)
+
+
 def build_datamodule(cfg: Dict, num_shards: int = 1, shard_id: int = 0):
     from .data.registry import load_datamodule
 
@@ -169,7 +180,7 @@ def build_datamodule(cfg: Dict, num_shards: int = 1, shard_id: int = 0):
         batch_size=per_process,
         test_batch_size=None if test_bs is None else test_bs // num_shards,
         n_points=cfg["train"].get("n_points", 8192),
-        num_workers=cfg["train"].get("num_workers", 0),
+        num_workers=resolve_num_workers(cfg["train"].get("num_workers", "auto")),
         augmentations=ds.get("augmentations"),
         specific=ds.get("specific"),
         seed=cfg["train"].get("seed", 42),

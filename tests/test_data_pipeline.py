@@ -224,3 +224,91 @@ def test_loader_process_sharding():
         for s in range(2)
     ]
     assert counts == [38 // 4, 38 // 4], counts
+
+
+def test_image_cache_roundtrip(tmp_path, rng):
+    """Dataset fed from the decoded-image cache must produce the same sample
+    as the decode+resize path (images within uint8 quantization)."""
+    import pickle
+
+    from PIL import Image
+
+    from mm2d3d_tpu.data.image_cache import build_image_cache
+    from mm2d3d_tpu.data.nuscenes import NuScenesLidarSeg
+
+    root = str(tmp_path)
+    img = (rng.rand(90, 160, 3) * 255).astype(np.uint8)
+    os.makedirs(osp.join(root, "samples"))
+    Image.fromarray(img).save(osp.join(root, "samples", "f0.jpg"), quality=95)
+    n = 50
+    rec = {
+        "points": rng.randn(n, 3).astype(np.float32) * 5,
+        "pts_cam_coord": np.abs(rng.randn(n, 3).astype(np.float32)) + 1,
+        "seg_labels": rng.randint(0, 17, n).astype(np.uint8),
+        "points_img": np.stack(
+            [rng.uniform(0, 89, n), rng.uniform(0, 159, n)], 1
+        ).astype(np.float32),
+        "camera_path": "samples/f0.jpg",
+        "calib": {"cam_intrinsic": [[100.0, 0, 80], [0, 100.0, 45], [0, 0, 1]]},
+    }
+    with open(osp.join(root, "train_usa.pkl"), "wb") as f:
+        pickle.dump([rec], f)
+
+    kw = dict(split=("train_usa",), preprocess_dir=root, nuscenes_dir=root,
+              resize=(40, 22))
+    plain = NuScenesLidarSeg(**kw)
+    cache_dir = osp.join(root, "cache")
+    built = build_image_cache([rec["camera_path"]], root, cache_dir, (40, 22))
+    assert built == 1
+    cached = NuScenesLidarSeg(**kw, image_cache_dir=cache_dir)
+
+    a = plain.__getitem__(0, rng=np.random.RandomState(3))
+    b = cached.__getitem__(0, rng=np.random.RandomState(3))
+    np.testing.assert_allclose(b["img"], a["img"], atol=0.6 / 255)
+    np.testing.assert_array_equal(b["coords"], a["coords"])
+    np.testing.assert_array_equal(b["seg_label"], a["seg_label"])
+    np.testing.assert_array_equal(b["img_indices"], a["img_indices"])
+    np.testing.assert_allclose(b["intrinsics"], a["intrinsics"])
+    # resize mismatch is a config error, caught at init
+    with pytest.raises(ValueError):
+        NuScenesLidarSeg(**{**kw, "resize": (80, 45)},
+                         image_cache_dir=cache_dir)
+
+
+def test_resolve_num_workers():
+    from mm2d3d_tpu.run import resolve_num_workers
+
+    assert resolve_num_workers(3) == 3
+    assert resolve_num_workers("2") == 2
+    auto = resolve_num_workers("auto")
+    assert isinstance(auto, int) and auto >= 0
+
+
+def test_native_numpy_image_op_parity(rng):
+    """The loader's default (C++) image ops vs the numpy reference, at the
+    dataset's call sites (uint8 resize + depth/label maps)."""
+    from mm2d3d_tpu import native
+    from mm2d3d_tpu.data import augment as A
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    img = (rng.rand(45, 80, 3) * 255).astype(np.uint8)
+    old = A._USE_NATIVE
+    try:
+        A._USE_NATIVE = False
+        ref = A.bilinear_resize(img, (22, 40))
+        A._USE_NATIVE = True
+        out = A.bilinear_resize(img, (22, 40))
+        np.testing.assert_allclose(out, ref, atol=1e-3)
+
+        idx = np.stack([rng.randint(0, 22, 30), rng.randint(0, 40, 30)], 1)
+        depths = rng.rand(30).astype(np.float32) * 50
+        labels = rng.randint(-100, 6, 30).astype(np.int64)
+        A._USE_NATIVE = False
+        d_ref, l_ref = A.build_depth_and_label_maps(idx, depths, labels, (22, 40))
+        A._USE_NATIVE = True
+        d, l = A.build_depth_and_label_maps(idx, depths, labels, (22, 40))
+        np.testing.assert_array_equal(d, d_ref)
+        np.testing.assert_array_equal(l, l_ref)
+    finally:
+        A._USE_NATIVE = old

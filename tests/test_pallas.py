@@ -188,3 +188,111 @@ def test_head_pool_supports_rejects_oversize_crop():
     assert not H.supports(32, 16, 32, 17, 8)   # w_real > wp
     assert not H.supports(24, 16, 24, 16, 8)   # hp not strip-aligned
     assert not H.supports(32, 16, 0, 16, 8)    # empty crop
+
+
+# ---------------------------------------------------------------------------
+# fused propagate + tier-1 slot kernel (ops/pallas/propagate.py)
+# ---------------------------------------------------------------------------
+
+def _small_two_level(rng, n=3000, full_scale=64, batches=2):
+    from mm2d3d_tpu.ops import hierarchy as H
+    from mm2d3d_tpu.ops.voxelize import voxelize
+
+    coords = rng.randint(0, full_scale, size=(n, 3)).astype(np.int32)
+    batch = rng.randint(0, batches, size=(n,)).astype(np.int32)
+    valid = rng.rand(n) < 0.9
+    grid = voxelize(
+        jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid),
+        full_scale, capacity=2048,
+    )
+    grid_c, trans = H._coarsen_grid(grid, capacity=1024)
+    nbr_c = H.build_nbr(grid_c)
+    return grid, trans, nbr_c
+
+
+def test_propagate_slots_kernel_matches_xla(rng):
+    """Fused Pallas propagate+slots (interpreter mode) vs propagate_nbr +
+    _rank_slots — nbr, tier-1 tables, and hit counts must be bit-equal."""
+    from mm2d3d_tpu.ops import hierarchy as H
+
+    grid, trans, nbr_c = _small_two_level(rng)
+    h1 = 3
+
+    nbr_ref = H.propagate_nbr(grid, trans, nbr_c)
+    center = H._offset_index(0, 0, 0)
+    off = jnp.asarray(np.delete(np.arange(27), center), np.int32)
+    k_ids = [k for k in range(27) if k != center]
+    src_ref, tap_ref, cnt_ref = H._rank_slots(
+        jnp.take(nbr_ref, off, axis=0), grid.capacity, h1, 0, k_ids=k_ids
+    )
+
+    nbr, src1, tap1, cnt = H.propagate_nbr_slots(
+        grid, trans, nbr_c, h1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(nbr), np.asarray(nbr_ref))
+    np.testing.assert_array_equal(np.asarray(src1), np.asarray(src_ref))
+    np.testing.assert_array_equal(np.asarray(tap1), np.asarray(tap_ref))
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_ref))
+
+
+def test_finish_slots_tiered_matches_full_build(rng):
+    """finish_slots_tiered (the XLA overflow tiers fed by the kernel's cnt)
+    vs build_slots_tiered end to end."""
+    from mm2d3d_tpu.ops import hierarchy as H
+
+    grid, trans, nbr_c = _small_two_level(rng)
+    nbr = H.propagate_nbr(grid, trans, nbr_c)
+    h1, h2, h_max, vm_cap, vh_cap = 2, 5, 26, 512, 128
+
+    ref = H.build_slots_tiered(nbr, h1, h2, h_max, vm_cap, vh_cap)
+    (s1r, t1r, imr, invmr, smr, tmr, ihr, shr, thr, dropr) = ref
+
+    center = H._offset_index(0, 0, 0)
+    off = jnp.asarray(np.delete(np.arange(27), center), np.int32)
+    k_ids = [k for k in range(27) if k != center]
+    s1, t1, cnt = H._rank_slots(
+        jnp.take(nbr, off, axis=0), grid.capacity, h1, 0, k_ids=k_ids
+    )
+    im, invm, sm, tm, ih, sh, th, drop = H.finish_slots_tiered(
+        nbr, cnt, h1, h2, h_max, vm_cap, vh_cap
+    )
+    for a, b in [(s1, s1r), (t1, t1r), (im, imr), (invm, invmr), (sm, smr),
+                 (tm, tmr), (ih, ihr), (sh, shr), (th, thr), (drop, dropr)]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_build_hierarchy_fused_flag_cpu_parity(rng):
+    """build_hierarchy(fused_propagate=...) must produce identical slot
+    tables either way (interpret-mode kernel vs XLA select trees)."""
+    import functools
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mm2d3d_tpu.ops import hierarchy as H
+    from mm2d3d_tpu.ops.voxelize import voxelize
+
+    n, fs = 2000, 64
+    coords = rng.randint(0, fs, size=(n, 3)).astype(np.int32)
+    batch = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+    grid = voxelize(
+        jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), fs,
+        capacity=2048,
+    )
+    slot_caps = ((2, 5, 26, 512, 128), (3, 26, 256), 4)
+
+    ref = H.build_hierarchy(grid, 3, slot_caps=slot_caps,
+                            fused_propagate=False)
+    with pltpu.force_tpu_interpret_mode():
+        fused = H.build_hierarchy(grid, 3, slot_caps=slot_caps,
+                                  fused_propagate=True)
+    for lr, lf in zip(ref.levels, fused.levels):
+        for name in ("nbr", "slot_src", "slot_tap", "slot_idx", "slot_src2",
+                     "slot_tap2", "slot_idxm", "slot_invm", "slot_srcm",
+                     "slot_tapm", "slot_overflow"):
+            a, b = getattr(lr, name), getattr(lf, name)
+            assert (a is None) == (b is None), name
+            if a is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=name
+                )

@@ -115,3 +115,76 @@ def test_subm_conv_slot_grads(rng):
         lambda f, ww: _plain_tap_conv(f, lvl.nbr, ww),
         (feats, w),
     )
+
+
+def _setup_dense(rng, cin=5):
+    """Geometry with a solid block so hit counts span all three tiers
+    (interior block voxels have up to 26 off-center hits)."""
+    gx, gy, gz = np.meshgrid(*[np.arange(6)] * 3, indexing="ij")
+    block = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.int32)
+    rand = rng.randint(0, FULL_SCALE, (200, 3)).astype(np.int32)
+    coords = np.concatenate([block + 8, rand])
+    p = len(coords)
+    batch = np.zeros(p, np.int32)
+    valid = np.ones(p, bool)
+    grid = voxelize(
+        jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), FULL_SCALE
+    )
+    hier = build_hierarchy(grid, num_levels=2)
+    feats = rng.randn(grid.capacity, cin).astype(np.float32)
+    feats[int(grid.num_voxels):] = 0
+    return hier, jnp.asarray(feats)
+
+
+def test_subm_conv_slots_split_grads(rng):
+    """2-tier split-phase VJP (tier 1 + compacted overflow scatter) ==
+    autodiff of the dense formulation.  Kills tier-dropping mutations in
+    `_subm_slots2_bwd`."""
+    from mm2d3d_tpu.ops.hierarchy import build_slots_split
+
+    hier, feats = _setup_dense(rng)
+    lvl = hier.levels[0]
+    s1, t1, idx, s2, t2, dropped = build_slots_split(
+        lvl.nbr, h_lo=2, h_max=26, vh_cap=lvl.capacity
+    )
+    assert int(dropped) == 0
+    slotted = lvl.replace(
+        slot_src=s1, slot_tap=t1, slot_overflow=dropped,
+        slot_idx=idx, slot_src2=s2, slot_tap2=t2,
+    )
+    assert int(np.asarray((t2 != 27).sum())) > 0  # overflow tier populated
+    w = jnp.asarray(rng.randn(27, feats.shape[1], 4).astype(np.float32) * 0.1)
+    _check_grads(
+        lambda f, ww: subm_conv3(f, slotted, ww, compute_dtype=jnp.float32),
+        lambda f, ww: _plain_tap_conv(f, lvl.nbr, ww),
+        (feats, w),
+    )
+
+
+def test_subm_conv_slots_tiered_grads(rng):
+    """3-tier VJP (tier 1 + gather-added mid tier + scatter-added heavy
+    tier) == autodiff of the dense formulation.  A dropped or mis-indexed
+    tier in `_subm_slots3_bwd` fails this directly."""
+    from mm2d3d_tpu.ops.hierarchy import build_slots_tiered
+
+    hier, feats = _setup_dense(rng)
+    lvl = hier.levels[0]
+    s1, t1, im, invm, sm, tm, ih, sh, th, dropped = build_slots_tiered(
+        lvl.nbr, h1=2, h2=5, h_max=26,
+        vm_cap=lvl.capacity, vh_cap=lvl.capacity,
+    )
+    assert int(dropped) == 0
+    slotted = lvl.replace(
+        slot_src=s1, slot_tap=t1, slot_overflow=dropped,
+        slot_idxm=im, slot_invm=invm, slot_srcm=sm, slot_tapm=tm,
+        slot_idx=ih, slot_src2=sh, slot_tap2=th,
+    )
+    # sanity: both overflow tiers are actually populated on this geometry
+    assert int(np.asarray((tm != 27).sum())) > 0
+    assert int(np.asarray((th != 27).sum())) > 0
+    w = jnp.asarray(rng.randn(27, feats.shape[1], 4).astype(np.float32) * 0.1)
+    _check_grads(
+        lambda f, ww: subm_conv3(f, slotted, ww, compute_dtype=jnp.float32),
+        lambda f, ww: _plain_tap_conv(f, lvl.nbr, ww),
+        (feats, w),
+    )

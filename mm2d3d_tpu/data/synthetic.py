@@ -72,13 +72,32 @@ def make_batch(
     with np.errstate(divide="ignore"):
         ground_r = np.where(elev_f < -1e-3, sensor_h / np.tan(-elev_f), 120.0)
     rng_range = np.clip(ground_r, 2.0, 120.0)
-    for _ in range(6):  # random walls at fixed depths/azimuth bands
-        wall_z = rng.rand(b, 1) * 50 + 5
-        az0 = (rng.rand(b, 1) - 0.5) * 0.8
-        wid = rng.rand(b, 1) * 0.1 + 0.02
+    for w in range(6):  # random walls at fixed depths/azimuth bands
+        if separable:
+            # stratified depths/azimuths: every depth bin (= class, see
+            # below) is populated in every sample, and the non-overlapping
+            # azimuth bands keep nearer walls from occluding farther ones —
+            # otherwise rare/absent classes cap the reachable mIoU
+            # (absent_score = 0) and the learning test cannot discriminate.
+            # Depths stay within ~23 m so the scene fits small test
+            # full_scales (coords = 20 x meters): beyond full_scale/20 the
+            # clip collapses walls into boundary voxels and mode-4 pooling
+            # mixes their classes, capping the reachable 3D mIoU.
+            wall_z = 5.0 + w * 3.6 + rng.rand(b, 1) * 1.2
+            az0 = -0.36 + w * 0.144 + (rng.rand(b, 1) - 0.5) * 0.02
+            wid = rng.rand(b, 1) * 0.03 + 0.05
+        else:
+            wall_z = rng.rand(b, 1) * 50 + 5
+            az0 = (rng.rand(b, 1) - 0.5) * 0.8
+            wid = rng.rand(b, 1) * 0.1 + 0.02
         hit = np.abs(az_f - az0) < wid
         rng_range = np.where(hit, np.minimum(rng_range, wall_z), rng_range)
     wall_mask = (rng_range < np.clip(ground_r, 2.0, 120.0) - 1e-3)[:, :n]
+    if separable:
+        # cap the WHOLE scene so it fits a small test full_scale: distant
+        # ground would otherwise shift the positive-octant origin and push
+        # the walls past the coordinate clip (collapsing their voxels)
+        rng_range = np.minimum(rng_range, 23.5)
     rng_range = rng_range + rng.randn(b, n_rings * per_ring) * 0.02  # sensor noise
 
     zc = (rng_range * np.cos(elev_f) * np.cos(az_f))[:, :n]
@@ -115,10 +134,11 @@ def make_batch(
 
     if separable:
         # geometry-correlated labels: ground = class 0, walls binned by
-        # depth into classes 1..num_classes-1; image painted with the class
-        # color at each projected point so the 2D branch is separable too
-        wall_cls = 1 + np.minimum(
-            (zc / 12.0).astype(np.int32), num_classes - 2
+        # depth into classes 1..num_classes-1 (bins match the stratified
+        # wall depths above); image painted with the class color at each
+        # projected point so the 2D branch is separable too
+        wall_cls = 1 + np.clip(
+            ((zc - 3.2) / 3.6).astype(np.int32), 0, num_classes - 2
         )
         seg_label = np.where(wall_mask, wall_cls, 0).astype(np.int32)
         seg_label[~point_mask] = -100

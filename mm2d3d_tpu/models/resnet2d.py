@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# Stem max pool backend: the Pallas strip kernel (ops/pallas/maxpool,
+# self-gating — falls back to reduce_window off TPU / non-bf16) vs XLA
+# reduce_window.  Trace-time flag; only the A/B tools flip it.
+_STEM_POOL_PALLAS = True
+
 
 class ConvBN(nn.Module):
     features: int
@@ -115,8 +120,19 @@ class ResNet34Encoder(nn.Module):
         # looked 7x cheaper STANDALONE (2.2 -> 0.3 ms) but cost +4.6 ms
         # IN-GRAPH: the stride-2 slices along W defeat XLA's fusion/layout,
         # while reduce_window fuses fine.  In-graph timings are what count
-        # (PERFORMANCE.md).
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # (PERFORMANCE.md).  The Pallas strip kernel (ops/pallas/maxpool)
+        # reads the stem output — which materializes in HBM anyway as the
+        # stride-1 skip — once at full bandwidth; backward stays XLA's
+        # select-and-scatter.  _STEM_POOL_PALLAS=False pins reduce_window
+        # (A/B tools; read at trace time).
+        if _STEM_POOL_PALLAS:
+            from ..ops.pallas.maxpool import maxpool3x3s2
+
+            x = maxpool3x3s2(x)
+        else:
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
 
         widths = (64, 128, 256, 512)
         for i, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):

@@ -134,4 +134,9 @@ def test_train_overfits_tiny_batch(batches):
         if first is None:
             first = seg
     assert np.isfinite(seg)
-    assert seg < 0.78 * first, (first, seg)
+    # measured 0.706 on a correct build (tools: /tmp probe, round 3); the
+    # bound leaves ~6% backend margin.  Gradient CORRECTNESS is pinned
+    # analytically by tests/test_spconv_grad.py (incl. the 2-/3-tier slot
+    # VJPs) and end-to-end by tests/test_learning.py; this is a cheap
+    # smoke bound, not the primary evidence.
+    assert seg < 0.75 * first, (first, seg)

@@ -94,6 +94,33 @@ def main():
     print(f"{'overlap (2D + topo3D - full)':36s} {t_3d + t_2d - t_full:8.2f} ms")
     print(f"scans/s: {BATCH * 1000 / t_full:.1f}")
 
+    if "--train" in sys.argv:
+        state = task.init_state(jax.random.PRNGKey(0), batches[0])
+        step = jax.jit(task.train_step)
+        rng = jax.random.PRNGKey(1)
+
+        def train_once(state, src, trg):
+            new_state, logs = step(state, src, trg, rng)
+            # consume EVERY leaf of the updated state: anything not feeding
+            # the returned scalar gets DCE'd by the outer jit, which
+            # silently drops most of the backward + optimizer from the
+            # timing (observed: 208 -> 85 ms with only the loss returned)
+            acc = logs["train/loss_total"]
+            for leaf in jax.tree_util.tree_leaves(new_state):
+                if hasattr(leaf, "reshape") and leaf.size:
+                    acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+            return acc
+
+        def fwd_both(p2, p3, s2, s3, src, trg):
+            return full(p2, p3, s2, s3, src) + full(p2, p3, s2, s3, trg)
+
+        t_step = timeit("full train step (src+trg)", train_once, state,
+                        batches[0], batches[1])
+        t_f2 = timeit("both domains fwd only", fwd_both, *p,
+                      batches[0], batches[1])
+        print(f"{'bwd + optimizers (step - fwds)':36s} {t_step - t_f2:8.2f} ms")
+        print(f"train scans/s (16/step): {16 * 1000 / t_step:.1f}")
+
 
 if __name__ == "__main__":
     main()

@@ -195,11 +195,19 @@ def pad_sample(
     its sort-free path; ``point_perm`` records the original index of each
     sorted row (consumers that must restore scan order — e.g. the
     pseudo-label generator — invert with it).
+
+    A sample carrying ``_pad_tail_: True`` (set by the sharded loader to
+    fill a partial global tail batch, `data.loader.Loader`) is fully
+    invalidated: every point masked out, every label -100, so it
+    contributes nothing to losses or confusion matrices — multi-host eval
+    stays EXACT over the dataset instead of dropping the tail (the
+    reference evaluates every scan, train.py:297-339).
     """
     n = len(sample["coords"])
     keep = min(n, n_points)
     out = dict(sample)
-    out["n_dropped"] = max(0, n - n_points)
+    pad_tail = bool(out.pop("_pad_tail_", False))
+    out["n_dropped"] = 0 if pad_tail else max(0, n - n_points)
 
     def pad(arr, fill=0):
         arr = np.asarray(arr)[:keep]
@@ -219,6 +227,16 @@ def pad_sample(
             out[key] = pad(sample[key], fill=IGNORE)
     mask = np.zeros(n_points, bool)
     mask[:keep] = True
+    if pad_tail:
+        mask[:] = False
+        out["seg_label"] = np.full(n_points, IGNORE, out["seg_label"].dtype)
+        if out.get("seg_labels_2d") is not None:
+            out["seg_labels_2d"] = np.full_like(
+                np.asarray(out["seg_labels_2d"]), IGNORE
+            )
+        for key in ("pseudo_label_2d", "pseudo_label_3d", "pseudo_label_ensemble"):
+            if out.get(key) is not None:
+                out[key] = np.full(n_points, IGNORE, np.asarray(out[key]).dtype)
     out["point_mask"] = mask
 
     if full_scale is not None:

@@ -48,12 +48,21 @@ class Loader:
         num_shards: int = 1,
         shard_id: int = 0,
         full_scale: Optional[int] = None,
+        pad_last: bool = False,
     ):
         """`batch_size` is the PER-PROCESS batch.  With `num_shards` > 1
         (multi-host training: one process per host), every process samples
         the same global order (same seed) and takes its `shard_id` slice of
         each global batch of `batch_size * num_shards` scans — each host
-        loads only its own shard (SURVEY §2.7 DCN/multi-host story)."""
+        loads only its own shard (SURVEY §2.7 DCN/multi-host story).
+
+        `pad_last` pads a partial tail batch to the full `batch_size` with
+        fully-masked filler samples (zero metric/loss contribution) so
+        every batch has the same static shape — no tail recompile, and
+        device meshes can always shard the leading dim.  Sharded loaders
+        (`num_shards` > 1, not drop_last) pad regardless: equal per-process
+        batch counts are required for the collectives, and padding (unlike
+        dropping) keeps multi-host evaluation exact."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.n_points = n_points
@@ -63,6 +72,7 @@ class Loader:
         self.num_workers = num_workers
         self.num_shards = num_shards
         self.shard_id = shard_id
+        self.pad_last = pad_last
         # Host-side Morton sort scale (None disables; see data.base.collate).
         # MUST equal the model/voxelizer full_scale when set: a larger value
         # here would host-sort points the device later masks invalid,
@@ -80,10 +90,11 @@ class Loader:
     def __len__(self) -> int:
         n = len(self.dataset)
         g = self.batch_size * self.num_shards
-        if self.drop_last or self.num_shards > 1:
-            # sharded loaders also drop the tail partial batch (equal
-            # per-process batch counts; see __iter__)
+        if self.drop_last:
             return n // g
+        # sharded eval loaders PAD the partial global tail batch instead of
+        # dropping it (equal per-process batch counts for the collectives,
+        # exact coverage of every scan; see __iter__)
         return (n + g - 1) // g
 
     def _sample_seed(self, index: int) -> int:
@@ -105,35 +116,64 @@ class Loader:
 
         g = self.batch_size * self.num_shards
         lo = self.shard_id * self.batch_size
-        batches = []
+        batches = []  # (index array, number of trailing padding entries)
         for i in range(0, n, g):
-            if (self.drop_last or self.num_shards > 1) and i + g > n:
-                # drop the whole GLOBAL tail batch.  Filtering each
-                # shard's slice by ITS length would let low shards keep a
-                # full slice of a partial global batch while high shards
-                # drop theirs — unequal per-process batch counts, and
-                # multi-host collectives deadlock.
-                continue
+            if i + g > n:  # partial GLOBAL tail batch
+                if self.drop_last:
+                    # train: drop the whole GLOBAL tail batch.  Filtering
+                    # each shard's slice by ITS length would let low shards
+                    # keep a full slice of a partial global batch while high
+                    # shards drop theirs — unequal per-process batch counts,
+                    # and multi-host collectives deadlock.
+                    continue
+                if self.num_shards > 1 or self.pad_last:
+                    # eval: PAD the tail so every process still sees a full
+                    # batch and every scan is evaluated exactly once.  The
+                    # filler repeats a real index; its samples are marked
+                    # `_pad_tail_` so pad_sample masks every point / sets
+                    # all labels -100 — zero contribution to losses or
+                    # confusion matrices (the reference evaluates every
+                    # scan, train.py:297-339; dropping the tail
+                    # under-reported multi-host mIoU by up to
+                    # batch*shards - 1 scans).
+                    b = order[i + lo : i + lo + self.batch_size]
+                    n_pad = self.batch_size - len(b)
+                    fill = np.full(n_pad, order[i], dtype=order.dtype)
+                    batches.append((np.concatenate([b, fill]), n_pad))
+                    continue
             b = order[i + lo : i + lo + self.batch_size]
             if len(b):
-                batches.append(b)
+                batches.append((b, 0))
+
+        def finish(samples, n_pad):
+            if n_pad:
+                samples = list(samples)
+                samples[len(samples) - n_pad:] = [
+                    {**s, "_pad_tail_": True}
+                    for s in samples[len(samples) - n_pad:]
+                ]
+            return collate(samples, self.n_points, full_scale=self.full_scale)
 
         pool = self._pool_handle()
         if pool is None:
-            for idxs in batches:
+            for idxs, n_pad in batches:
                 samples = [
                     self.dataset.__getitem__(
                         int(i), rng=np.random.RandomState(self._sample_seed(int(i)))
                     )
                     for i in idxs
                 ]
-                yield collate(samples, self.n_points, full_scale=self.full_scale)
+                yield finish(samples, n_pad)
         else:
-            args = [(int(i), self._sample_seed(int(i))) for b in batches for i in b]
+            args = [
+                (int(i), self._sample_seed(int(i)))
+                for b, _ in batches
+                for i in b
+            ]
             it = pool.imap(_worker_get, args, chunksize=1)
-            for idxs in batches:
+            for idxs, n_pad in batches:
                 samples = [next(it) for _ in idxs]
-                yield collate(samples, self.n_points, full_scale=self.full_scale)
+                yield finish(samples, n_pad)
 
     def iterate(self, num_iterations: int) -> Iterator[PointBatch]:
         """Yield exactly `num_iterations` batches, cycling epochs with

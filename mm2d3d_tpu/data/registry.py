@@ -159,9 +159,10 @@ def load_datamodule(
     test_bs = test_batch_size or batch_size
     shard_kw = dict(num_shards=num_shards, shard_id=shard_id,
                     full_scale=full_scale)
-    # NB multi-host (num_shards > 1): val/test loaders shard too and drop
-    # the tail partial batch (collectives need equal per-process batches);
-    # single-host evaluates every scan.
+    # NB multi-host (num_shards > 1): val/test loaders shard too; the tail
+    # partial GLOBAL batch is padded with fully-masked filler samples
+    # (collectives need equal per-process batches) so every scan is still
+    # evaluated exactly once — same totals as a single-host run.
     return DataModule(
         source_train=Loader(src_train, batch_size, n_points, shuffle=True,
                             drop_last=True, seed=seed, num_workers=num_workers,
@@ -170,9 +171,9 @@ def load_datamodule(
                             drop_last=True, seed=seed + 1, num_workers=num_workers,
                             **shard_kw),
         target_val=Loader(trg_val, test_bs, n_points, num_workers=num_workers,
-                          **shard_kw),
+                          pad_last=True, **shard_kw),
         target_test=Loader(trg_test, test_bs, n_points, num_workers=num_workers,
-                           **shard_kw),
+                           pad_last=True, **shard_kw),
         num_classes=src_train.num_classes,
         class_names=list(src_train.merged_class_names),
     )

@@ -18,6 +18,22 @@ import time
 from typing import Any, Dict, List, Optional
 
 
+def rank_zero() -> bool:
+    """True on process 0 (and on single-process runs / before jax init).
+
+    The reference decorates every logging side-effect with
+    ``rank_zero_only`` (``lib/logging/__init__.py:12,76,88,114,128``;
+    ``run.py:202``); this is the equivalent seam — multi-process runs must
+    not create duplicate tracker runs or race on shared-filesystem writes.
+    """
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class BaseLogger:
     name = "base"
 

@@ -202,28 +202,78 @@ def test_loader_process_sharding():
     ]
     a = list(shards[0])
     b = list(shards[1])
-    assert len(a) == len(b) == len(shards[0]) == 37 // 4
-    for x, y in zip(a, b):
+    # non-drop_last sharded loaders pad the global tail: ceil(37/4) batches
+    assert len(a) == len(b) == len(shards[0]) == (37 + 3) // 4
+    for x, y in zip(a[:-1], b[:-1]):
         # disjoint halves of the same global batch: labels differ per index
         assert x.coords.shape == y.coords.shape == (2, 8, 3)
         assert not np.array_equal(x.seg_label, y.seg_label) or not np.array_equal(
             x.coords, y.coords
         )
 
-    # regression: a PARTIAL global tail batch whose low-shard slice happens
-    # to be full must be dropped on EVERY shard — per-shard length
-    # filtering gave shard 0 one more batch than shard 1 (n=38, g=4: rows
-    # 36:38 fill shard 0's slice, shard 1's is empty), which deadlocks
-    # multi-host collectives
+    # a PARTIAL global tail batch (n=38, g=4: rows 36:38 fill shard 0's
+    # slice, shard 1's slice is empty) must yield EQUAL per-shard batch
+    # counts (multi-host collectives deadlock otherwise) while still
+    # covering every scan: the tail is padded with fully-masked filler,
+    # not dropped (the reference evaluates every scan)
     class DS38(DS):
         def __len__(self):
             return 38
 
+    tails = []
+    for s in range(2):
+        bs = list(Loader(DS38(), 2, 8, num_shards=2, shard_id=s))
+        assert len(bs) == (38 + 3) // 4, len(bs)
+        tails.append(bs[-1])
+    # shard 0's tail slice holds the 2 real leftover scans; shard 1's is
+    # pure padding — every point masked, every label ignored
+    assert tails[0].point_mask.any()
+    assert not tails[1].point_mask.any()
+    assert (tails[1].seg_label == -100).all()
+    assert int(tails[1].n_dropped.sum()) == 0
+    # drop_last (train) loaders still drop the global tail on every shard
     counts = [
-        len(list(Loader(DS38(), 2, 8, num_shards=2, shard_id=s)))
+        len(list(Loader(DS38(), 2, 8, num_shards=2, shard_id=s,
+                        drop_last=True)))
         for s in range(2)
     ]
     assert counts == [38 // 4, 38 // 4], counts
+
+
+def test_loader_pad_last_static_shapes():
+    """pad_last=True: the tail batch is padded to the full batch size with
+    zero-contribution filler — static shapes for jit, exact metrics."""
+    import numpy as np
+
+    from mm2d3d_tpu.data.loader import Loader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i, rng=None):
+            n = 8
+            return {
+                "img": np.zeros((4, 6, 3), np.float32),
+                "depth": np.zeros((4, 6), np.float32),
+                "img_indices": np.zeros((n, 2), np.int64),
+                "coords": np.full((n, 3), i % 16, np.int64),
+                "feats": np.ones((n, 3), np.float32),
+                "seg_label": np.full(n, i % 5, np.int64),
+            }
+
+    batches = list(Loader(DS(), 4, 8, pad_last=True))
+    assert [b.batch_size for b in batches] == [4, 4, 4]
+    tail = batches[-1]
+    # 2 real samples + 2 fully-masked pads
+    assert tail.point_mask[:2].all() and not tail.point_mask[2:].any()
+    assert (tail.seg_label[2:] == -100).all()
+    # total REAL points across the epoch == 10 scans x 8 points
+    total = sum(int(b.point_mask.sum()) for b in batches)
+    assert total == 10 * 8
+    # without pad_last the tail stays partial (back-compat)
+    batches = list(Loader(DS(), 4, 8))
+    assert [b.batch_size for b in batches] == [4, 4, 2]
 
 
 def test_image_cache_roundtrip(tmp_path, rng):

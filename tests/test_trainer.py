@@ -75,6 +75,68 @@ def test_trainer_multi_device_mesh(tmp_path):
     assert trainer.ckpt.exists("last")
 
 
+def test_sharded_eval_tail_exact():
+    """Dataset size % (batch x devices) != 0: the padded-tail sharded eval
+    must yield confusion totals identical to a single-device run over the
+    same scans (multi-host evaluation is EXACT, not a subset)."""
+    from mm2d3d_tpu.data.loader import Loader
+    from mm2d3d_tpu.parallel.mesh import (
+        make_mesh,
+        make_sharded_eval_step,
+        replicate,
+        shard_batch,
+    )
+    from mm2d3d_tpu.train.step import EvalMetrics
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, index, rng=None):
+            r = np.random.RandomState(1000 + index)
+            n, h, w = 96, 16, 24
+            idx = np.stack([r.randint(0, h, n), r.randint(0, w, n)], 1)
+            depth = np.zeros((h, w, 1), np.float32)
+            depth[idx[:, 0], idx[:, 1], 0] = r.rand(n) * 50
+            return {
+                "img": r.rand(h, w, 3).astype(np.float32),
+                "depth": depth,
+                "img_indices": idx.astype(np.int64),
+                "coords": r.randint(0, 64, (n, 3)).astype(np.int64),
+                "feats": r.rand(n, 3).astype(np.float32),
+                "seg_label": r.randint(0, 4, n).astype(np.int64),
+            }
+
+    task = MM2D3DTask(
+        num_classes=4, full_scale=64, num_planes=2, m=4,
+        compute_dtype=jnp.float32, axis_name="data",
+    )
+    mesh = make_mesh()
+    to_dev = lambda b: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: None if x is None else jnp.asarray(x), b
+    )
+
+    batches = list(Loader(DS(), batch_size=8, n_points=128, pad_last=True))
+    assert len(batches) == 2 and all(b.batch_size == 8 for b in batches)
+    state = task.init_state(jax.random.PRNGKey(0), to_dev(batches[0]))
+
+    metrics = replicate(EvalMetrics.create(4), mesh)
+    eval_sharded = make_sharded_eval_step(task, mesh)
+    for b in batches:
+        metrics, _ = eval_sharded(state, shard_batch(b, mesh), metrics)
+
+    ref = EvalMetrics.create(4)
+    for b in Loader(DS(), batch_size=8, n_points=128):  # partial tail
+        ref, _ = task.eval_step(state, to_dev(b), ref)
+
+    for name in ("cm_2d", "cm_3d", "cm_avg"):
+        sharded_cm = np.asarray(getattr(metrics, name))
+        ref_cm = np.asarray(getattr(ref, name))
+        np.testing.assert_array_equal(sharded_cm, ref_cm, err_msg=name)
+        # every real point is counted exactly once
+        assert sharded_cm.sum() == 10 * 96
+
+
 def test_trainer_fit_validate_resume(tmp_path):
     task = _task()
     logger = create_logger({}, out_dir=str(tmp_path))

@@ -74,15 +74,13 @@ def main():
             if src is None:
                 continue
             s = np.asarray(src)
-            v_pad = (np.asarray(lev.slot_idx).shape[0]
-                     if name == "heavy" else s.shape[1])
             if name in ("mid", "heavy"):
                 # compacted tables: output row r maps to voxel idx[r];
-                # window is around the VOXEL, so re-center by the map
+                # window is around the VOXEL, so re-center by the map.
+                # V-pad sentinel for invalid entries is the tier-1 table's
+                # V dimension (slot_src.shape[1]) at every tier.
                 idx = np.asarray(lev.slot_idxm if name == "mid"
                                  else lev.slot_idx)
-                vpad_feat = s.max() + 1 if s.size else 0
-                h = s.shape[0]
                 tile_of = idx // TILE
                 centers = tile_of * TILE + TILE // 2
                 valid = (s < np.asarray(lev.slot_src).shape[1]) & (

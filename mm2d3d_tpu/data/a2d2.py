@@ -94,6 +94,7 @@ class A2D2(ScanListDataset):
         reduce_factor: int = 1,
         camera_coords: bool = False,
         use_rgb: bool = True,
+        device_image_ops: bool = False,
         output_orig: bool = False,
     ):
         # A2D2 pickles live in <preprocess_dir>/preprocess, configs at root
@@ -130,6 +131,11 @@ class A2D2(ScanListDataset):
         self.color_jitter = color_jitter
         self.camera_coords = camera_coords
         self.use_rgb = use_rgb
+        if device_image_ops and image_normalizer:
+            raise ValueError(
+                "device_image_ops does not support image_normalizer"
+            )
+        self.device_image_ops = device_image_ops
         self.output_orig = output_orig
 
     @staticmethod
@@ -176,9 +182,9 @@ class A2D2(ScanListDataset):
             img_indices, pts_cam[:, 2], seg_label, (h, w)
         )
 
-        image = np.asarray(image, np.float32) / 255.0
-        if self.color_jitter is not None:
-            image = A.color_jitter(image, rng, *self.color_jitter)
+        image, jitter_params = A.image_jitter_stage(
+            image, rng, self.color_jitter, self.device_image_ops
+        )
         if rng.rand() < self.fliplr:
             image, depth, img_indices, seg_labels_2d, intrinsics = A.fliplr_sample(
                 image, depth, img_indices, seg_labels_2d, intrinsics
@@ -213,10 +219,10 @@ class A2D2(ScanListDataset):
         if self.output_orig:
             out["orig_seg_label"] = seg_label
             out["orig_points_idx"] = idxs
-        if self.use_rgb:
-            out["feats"] = image[
-                out["img_indices"][:, 0], out["img_indices"][:, 1]
-            ].astype(np.float32)
-        else:
-            out["feats"] = np.ones([int(idxs.sum()), 1], np.float32)
+        if jitter_params is not None:
+            out["jitter_params"] = jitter_params
+        out["feats"] = A.rgb_feats_stage(
+            image, out["img_indices"], self.use_rgb, self.device_image_ops,
+            int(idxs.sum()),
+        )
         return out

@@ -235,7 +235,9 @@ def color_jitter(
     ops = []
     if brightness > 0:
         f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
-        ops.append(lambda im: im * f)
+        # NB f=f default: the factor must bind NOW — a late-binding
+        # closure would silently reuse the saturation draw for brightness
+        ops.append(lambda im, f=f: im * f)
     if contrast > 0:
         f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
 
@@ -261,5 +263,79 @@ def color_jitter(
     return np.clip(image, 0.0, 1.0)
 
 
+def draw_jitter_params(
+    rng: np.random.RandomState,
+    brightness: float = 0.0,
+    contrast: float = 0.0,
+    saturation: float = 0.0,
+) -> np.ndarray:
+    """Draw ColorJitter factors + op order for DEVICE-side application
+    (`ops.image.apply_color_jitter`), consuming the SAME RNG stream as
+    `color_jitter` (factor draws in brightness/contrast/saturation order,
+    then one permutation over the enabled ops) — host- and device-jittered
+    pipelines stay bit-reproducible from the same per-sample seed.
+
+    Returns (4,) float32: [f_b, f_c, f_s, order_index].  Disabled ops get
+    factor 1.0 (identity) and are placed last in the order, which is
+    equivalent to omitting them.
+    """
+    import itertools
+
+    factors = np.ones(3, np.float32)
+    enabled = []
+    for k, v in enumerate((brightness, contrast, saturation)):
+        if v > 0:
+            factors[k] = rng.uniform(max(0.0, 1 - v), 1 + v)
+            enabled.append(k)
+    perm = rng.permutation(len(enabled))
+    order = [enabled[i] for i in perm] + [k for k in range(3) if k not in enabled]
+    idx = list(itertools.permutations(range(3))).index(tuple(order))
+    return np.array([factors[0], factors[1], factors[2], idx], np.float32)
+
+
 def normalize_image(image: np.ndarray, mean, std) -> np.ndarray:
     return (image - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def image_jitter_stage(
+    image: np.ndarray,
+    rng: np.random.RandomState,
+    jitter_cfg,
+    device_image_ops: bool,
+):
+    """Shared dataset stage: host path converts to float [0,1] and jitters
+    in numpy; device path keeps the raw uint8 and only draws the params
+    (`draw_jitter_params`) for `ops.image.apply_color_jitter`.  Both paths
+    consume the same RNG draws, keeping downstream augmentations aligned.
+    Returns (image, jitter_params-or-None)."""
+    if device_image_ops:
+        if image.dtype != np.uint8:
+            # resize outputs float (0..255); round back to the uint8 wire
+            # format — the same quantization the decoded-image cache
+            # applies (data.image_cache stores resized uint8)
+            image = np.clip(np.rint(image), 0, 255).astype(np.uint8)
+        params = (
+            draw_jitter_params(rng, *jitter_cfg) if jitter_cfg is not None else None
+        )
+        return image, params
+    image = np.asarray(image, np.float32) / 255.0
+    if jitter_cfg is not None:
+        image = color_jitter(image, rng, *jitter_cfg)
+    return image, None
+
+
+def rgb_feats_stage(
+    image: np.ndarray,
+    img_indices: np.ndarray,
+    use_rgb: bool,
+    device_image_ops: bool,
+    n_points: int,
+):
+    """Per-point features: RGB at the projected pixel (use_rgb) or ones.
+    Device path returns None — the gather happens on device from the
+    prepared image (train.batch.prepare_device_batch)."""
+    if not use_rgb:
+        return np.ones([n_points, 1], np.float32)
+    if device_image_ops:
+        return None
+    return image[img_indices[:, 0], img_indices[:, 1]].astype(np.float32)

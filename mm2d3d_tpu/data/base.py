@@ -218,7 +218,10 @@ def pad_sample(
 
     out["coords"] = pad(sample["coords"])
     out["img_indices"] = pad(sample["img_indices"])
-    out["feats"] = pad(sample["feats"])
+    # feats None = wire format: per-point RGB gathered on device
+    # (train.batch.prepare_device_batch)
+    if sample.get("feats") is not None:
+        out["feats"] = pad(sample["feats"])
     out["seg_label"] = pad(sample["seg_label"], fill=IGNORE)
     if "points" in sample:
         out["points"] = pad(sample["points"])
@@ -269,7 +272,11 @@ def collate(
         arr = np.stack([p[key] for p in padded])
         return arr if dtype is None else arr.astype(dtype)
 
-    img = stack("img", np.float32)
+    # wire format: uint8 images ship as-is (4x fewer bytes; device runs
+    # /255 + jitter — train.batch.prepare_device_batch); float stays float32
+    img = np.stack([p["img"] for p in padded])
+    if img.dtype != np.uint8:
+        img = img.astype(np.float32)
     depth = stack("depth", np.float32)
     if depth.ndim == 3:
         depth = depth[..., None]
@@ -278,7 +285,7 @@ def collate(
         depth=depth,
         img_indices=stack("img_indices", np.int32),
         coords=stack("coords", np.int32),
-        feats=stack("feats", np.float32),
+        feats=stack("feats", np.float32, required=False),
         seg_label=stack("seg_label", np.int32),
         point_mask=stack("point_mask"),
         seg_labels_2d=stack("seg_labels_2d", np.int32, required=False),
@@ -287,5 +294,7 @@ def collate(
         pseudo_label_3d=stack("pseudo_label_3d", np.int32, required=False),
         pseudo_label_ensemble=stack("pseudo_label_ensemble", np.int32, required=False),
         point_perm=stack("point_perm", np.int32, required=False),
+        jitter_params=stack("jitter_params", np.float32, required=False),
         coords_sorted=full_scale is not None,
+        feats_from_img=padded[0].get("feats") is None,
     )

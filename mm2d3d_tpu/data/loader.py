@@ -234,6 +234,62 @@ def prefetch_topology_pairs(
             yield done.result()
 
 
+def prefetched(gen, depth: int = 2):
+    """Run a generator in a background thread, `depth` items ahead.
+
+    Used by the Trainer to overlap host work (loader collate + the async
+    `jax.device_put` issue) with device compute — the double-buffered
+    host->device pipeline (the reference gets this from torch DataLoader
+    prefetch + pinned-memory copies, ``lib/dataset/__init__.py:299-389``).
+    Exceptions in the generator propagate to the consumer.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+    stop = threading.Event()
+
+    def fill():
+        try:
+            for x in gen:
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # propagate to the consuming thread
+            err.append(e)
+        finally:
+            while True:
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break  # consumer already gone
+
+    t = threading.Thread(target=fill, daemon=True)
+    t.start()
+    try:
+        while True:
+            x = q.get()
+            if x is sentinel:
+                t.join()
+                if err:
+                    raise err[0]
+                return
+            yield x
+    finally:
+        # consumer broke out early (limit_train_batches / exception):
+        # unblock and retire the fill thread
+        stop.set()
+
+
 def max_size_cycle(source: Loader, target: Loader):
     """Pair source/target batches, cycling the shorter loader (Lightning's
     multiple_trainloader_mode="max_size_cycle")."""

@@ -66,6 +66,7 @@ class NuScenesLidarSeg(ScanListDataset):
         camera_coords: bool = False,
         use_rgb: bool = True,
         image_cache_dir: Optional[str] = None,
+        device_image_ops: bool = False,
     ):
         super().__init__(
             split, preprocess_dir, merge_classes=merge_classes,
@@ -99,6 +100,15 @@ class NuScenesLidarSeg(ScanListDataset):
         self.output_orig = output_orig
         self.camera_coords = camera_coords
         self.use_rgb = use_rgb
+        # wire format: ship raw uint8 pixels + jitter params; /255, jitter,
+        # and the RGB feats gather run on DEVICE
+        # (train.batch.prepare_device_batch) — 4x less image traffic
+        if device_image_ops and image_normalizer:
+            raise ValueError(
+                "device_image_ops does not support image_normalizer; "
+                "disable one of them"
+            )
+        self.device_image_ops = device_image_ops
 
     def __getitem__(self, index: int, rng: Optional[np.random.RandomState] = None):
         rng = rng or np.random.RandomState()
@@ -139,9 +149,9 @@ class NuScenesLidarSeg(ScanListDataset):
             img_indices, pts_cam[:, 2], seg_label, (h, w)
         )
 
-        image = np.asarray(image, np.float32) / 255.0
-        if self.color_jitter is not None:
-            image = A.color_jitter(image, rng, *self.color_jitter)
+        image, jitter_params = A.image_jitter_stage(
+            image, rng, self.color_jitter, self.device_image_ops
+        )
         if rng.rand() < self.fliplr:
             image, depth, img_indices, seg_labels_2d, intrinsics = A.fliplr_sample(
                 image, depth, img_indices, seg_labels_2d, intrinsics
@@ -174,14 +184,14 @@ class NuScenesLidarSeg(ScanListDataset):
             "offset": offset,
             "rot_matrix": rot_matrix,
         }
+        if jitter_params is not None:
+            out["jitter_params"] = jitter_params
         self.attach_pseudo_labels(out, index, idxs)
         if self.output_orig:
             out["orig_seg_label"] = seg_label
             out["orig_points_idx"] = idxs
-        if self.use_rgb:
-            out["feats"] = image[
-                out["img_indices"][:, 0], out["img_indices"][:, 1]
-            ].astype(np.float32)
-        else:
-            out["feats"] = np.ones([idxs.sum(), 1], np.float32)
+        out["feats"] = A.rgb_feats_stage(
+            image, out["img_indices"], self.use_rgb, self.device_image_ops,
+            int(idxs.sum()),
+        )
         return out

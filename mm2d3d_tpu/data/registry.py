@@ -60,6 +60,15 @@ def load_datamodule(
     specific = specific or {}
     augmentations = augmentations or {}
     common = dict(specific)
+    # production default: ship raw uint8 images + jitter params and run
+    # /255 + ColorJitter + the RGB feats gather ON DEVICE (4x less
+    # host->device traffic; train.batch.prepare_device_batch).  Opt out per
+    # scenario with `datasets.specific.device_image_ops: false`; host path
+    # is forced when an image_normalizer is configured (device path does
+    # not support it).
+    common.setdefault(
+        "device_image_ops", not common.get("image_normalizer")
+    )
     shared_kw = dict(short_run=short_run, reduce_factor=reduce_factor)
 
     def splits(cfg, key):

@@ -27,6 +27,7 @@ def make_batch(
     dtype=np.float32,
     variant: str = "nuscenes",
     separable: bool = False,
+    wire: bool = False,
 ) -> PointBatch:
     """LiDAR-like scene: ground plane + vertical structures, projected to a
     virtual front camera.
@@ -160,6 +161,14 @@ def make_batch(
         seg_label[rng.rand(b, n) < 0.05] = -100  # ignore sprinkles
         seg_label[~point_mask] = -100
 
+    if wire:
+        # uint8 wire format (`train.batch.prepare_device_batch`): quantize
+        # the image to the uint8 grid FIRST so the float twin of this batch
+        # (same rng, wire=False after this quantization) is bit-identical
+        # to what the device reconstructs — lets tests assert exact parity
+        img_u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+        img = img_u8.astype(np.float32) / 255.0
+
     feats = np.take_along_axis(
         img.reshape(b, -1, 3),
         (img_indices[..., 0] * width + img_indices[..., 1])[..., None],
@@ -182,14 +191,15 @@ def make_batch(
             arr[i] = arr[i][perm]
 
     return PointBatch(
-        img=img,
+        img=img_u8 if wire else img,
         depth=depth,
         img_indices=img_indices,
         coords=coords,
-        feats=feats,
+        feats=None if wire else feats,
         seg_label=seg_label,
         point_mask=point_mask,
         seg_labels_2d=seg_labels_2d,
         point_perm=point_perm,
         coords_sorted=True,
+        feats_from_img=wire,
     )

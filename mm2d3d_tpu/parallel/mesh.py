@@ -90,6 +90,28 @@ def make_sharded_train_step(task, mesh: Mesh):
     return jax.jit(mapped, donate_argnums=(0,))
 
 
+def make_sharded_viz_forward(task, mesh: Mesh):
+    """Qualitative-figure forward under shard_map (batch-sharded in/out).
+
+    Multi-process note: EVERY process must call this (it is an SPMD
+    computation over global arrays); only process 0 then reads its local
+    shard and draws the figure (`train.trainer.Trainer._log_images`).
+    """
+    from jax.sharding import PartitionSpec
+
+    replicated = PartitionSpec()
+    data = PartitionSpec(DATA_AXIS)
+
+    mapped = jax.shard_map(
+        lambda state, batch: task.viz_forward(state, batch),
+        mesh=mesh,
+        in_specs=(replicated, data),
+        out_specs=data,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_sharded_eval_step(task, mesh: Mesh):
     """Eval under shard_map: each device accumulates its local confusion
     matrices; they are psum'd so the returned metrics are global."""

@@ -137,6 +137,8 @@ def resolve_auto_params(cfg: Dict, dm) -> None:
       per epoch`` where steps/epoch is ``max(len(source), len(target))``
       (max_size_cycle pairing, reference run.py:253).
     """
+    from .utils.logging import rank_zero
+
     for entry in cfg.get("losses", []):
         if (
             isinstance(entry, dict)
@@ -146,13 +148,15 @@ def resolve_auto_params(cfg: Dict, dm) -> None:
 
             w = compute_class_weights(dm.source_train.dataset)
             entry["args"]["weight"] = [float(x) for x in w]
-            print(f"computed class weights: {entry['args']['weight']}")
+            if rank_zero():
+                print(f"computed class weights: {entry['args']['weight']}")
     steps_per_epoch = max(len(dm.source_train), len(dm.target_train))
     for branch in cfg["models"].values():
         sched = (branch.get("optimizer") or {}).get("lr_scheduler") or {}
         if sched.get("total_steps") == "auto":
             sched["total_steps"] = cfg["run"]["max_epochs"] * steps_per_epoch
-            print(f"total_steps=auto -> {sched['total_steps']}")
+            if rank_zero():
+                print(f"total_steps=auto -> {sched['total_steps']}")
 
 
 def resolve_num_workers(value) -> int:
@@ -324,6 +328,8 @@ def main(argv=None):
         # a low-bandwidth tunnel the array transfer dominates - default off.
         host_topology=cfg["train"].get("host_topology", False),
         mesh=mesh,
+        # host->device double buffering depth (0 disables)
+        prefetch_batches=cfg["train"].get("prefetch_batches", 2),
     )
 
     import jax

@@ -69,8 +69,11 @@ def generate(
     state, meta = mgr.restore(ckpt_name, state)
     print(f"restored {ckpt_name} from {ckpt_dir} (meta: {meta})")
 
+    from ..train.batch import prepare_device_batch
+
     @jax.jit
     def forward(params2d, params3d, stats2d, stats3d, batch):
+        batch = prepare_device_batch(batch)  # wire-format batches
         topo = build_topology(batch, task.full_scale, task.num_planes)
         p2, _, _, _ = task._fwd2d(params2d, stats2d, batch, False)
         p3, _, _, _ = task._fwd3d(params3d, stats3d, batch, *topo, False)

@@ -22,13 +22,23 @@ from ..ops.voxelize import VoxelGrid, voxelize
 
 @struct.dataclass
 class PointBatch:
-    """One (mini)batch of RGB+LiDAR pairs with static shapes."""
+    """One (mini)batch of RGB+LiDAR pairs with static shapes.
 
-    img: jax.Array  # (B, H, W, 3) float32
+    Wire format: ``img`` may arrive as uint8 (the raw decoded pixels — 4x
+    less host->device traffic than float32) together with per-sample
+    ``jitter_params``; `prepare_device_batch` then runs /255, color jitter,
+    and the RGB-feats gather ON DEVICE (XLA fuses them into the stem
+    convs).  ``feats`` may be None in that case (``feats_from_img``) — the
+    per-point RGB features are gathered from the prepared image instead of
+    being shipped.
+    """
+
+    img: jax.Array  # (B, H, W, 3) float32 in [0,1] — or uint8 wire format
     depth: jax.Array  # (B, H, W, 1) float32 sparse depth map
     img_indices: jax.Array  # (B, N, 2) int32 (row, col)
     coords: jax.Array  # (B, N, 3) int32 voxel coords
-    feats: jax.Array  # (B, N, C) float32 per-point features (RGB or ones)
+    feats: Optional[jax.Array]  # (B, N, C) float32 per-point features
+    # (RGB or ones); None when feats_from_img (gathered on device)
     seg_label: jax.Array  # (B, N) int32, -100 = ignore/padding
     point_mask: jax.Array  # (B, N) bool
     seg_labels_2d: Optional[jax.Array] = None  # (B, H, W) int32
@@ -40,9 +50,15 @@ class PointBatch:
     pseudo_label_ensemble: Optional[jax.Array] = None  # (B, N) int32
     point_perm: Optional[jax.Array] = None  # (B, N) int32 original index of
     # each (host-)Morton-sorted row; only consumers restoring scan order use it
+    jitter_params: Optional[jax.Array] = None  # (B, 4) float32: brightness/
+    # contrast/saturation factors + op-order index (data.augment
+    # draw_jitter_params); applied on device by prepare_device_batch
     coords_sorted: bool = struct.field(pytree_node=False, default=False)
     # True when the loader pre-sorted each sample's points by Morton key
     # (data.base.morton_sort_perm) — lets voxelize skip its device sort
+    feats_from_img: bool = struct.field(pytree_node=False, default=False)
+    # True when per-point RGB feats are gathered from the prepared image on
+    # device (use_rgb datasets in wire format) instead of shipped
 
     @property
     def batch_size(self) -> int:
@@ -57,11 +73,39 @@ def flatten_points(batch: PointBatch):
     """(B, N, ...) -> (B*N, ...) plus per-point batch indices."""
     b, n = batch.coords.shape[:2]
     coords = batch.coords.reshape(b * n, 3)
-    feats = batch.feats.reshape(b * n, -1)
+    # feats is None until prepare_device_batch materializes it (wire format)
+    feats = None if batch.feats is None else batch.feats.reshape(b * n, -1)
     labels = batch.seg_label.reshape(b * n)
     mask = batch.point_mask.reshape(b * n)
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
     return coords, feats, labels, mask, bidx
+
+
+def prepare_device_batch(batch: PointBatch) -> PointBatch:
+    """Materialize the wire format ON DEVICE: uint8 img -> float32 [0,1],
+    per-sample color jitter (`ops.image.apply_color_jitter`), and the
+    per-point RGB feats gather (``feats_from_img``).
+
+    Idempotent: float batches with feats already present pass through
+    unchanged, so every step function can call it unconditionally.  The
+    whole thing is a handful of elementwise ops + one row gather that XLA
+    fuses into the stem — the win is shipping 4x fewer image bytes and no
+    feats array over the host->device link (the dominant transfer,
+    reference collate ``lib/dataset/__init__.py:27-130`` ships float).
+    """
+    img = batch.img
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        if batch.jitter_params is not None:
+            from ..ops.image import apply_color_jitter
+
+            img = apply_color_jitter(img, batch.jitter_params)
+        batch = batch.replace(img=img, jitter_params=None)
+    if batch.feats_from_img:
+        bidx = jnp.arange(img.shape[0])[:, None]
+        feats = img[bidx, batch.img_indices[..., 0], batch.img_indices[..., 1]]
+        batch = batch.replace(feats=feats, feats_from_img=False)
+    return batch
 
 
 def default_capacities(

@@ -29,7 +29,12 @@ from flax import struct
 
 from ..models.net2d import Net2DSeg
 from ..models.sparse_unet import Net3DSeg
-from .batch import PointBatch, build_topology, flatten_points
+from .batch import (
+    PointBatch,
+    build_topology,
+    flatten_points,
+    prepare_device_batch,
+)
 from .losses import kl_consistency, weighted_cross_entropy
 from .metrics import confusion_matrix_update
 from .optim import make_optimizer
@@ -139,6 +144,7 @@ class MM2D3DTask:
         # jitted as a whole: eager init would dispatch thousands of tiny ops
         # (catastrophic over a remote-TPU tunnel).
         def _init(rng, example):
+            example = prepare_device_batch(example)
             grid, hier = build_topology(example, self.full_scale, self.num_planes,
                                         slot_profile=self.slot_profile)
             _, feats, _, _, _ = flatten_points(example)
@@ -225,6 +231,10 @@ class MM2D3DTask:
         topo_src=None,
         topo_trg=None,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        # wire-format batches (uint8 img, device jitter, device feats
+        # gather) are materialized first — no-op for float batches
+        src = prepare_device_batch(src)
+        trg = prepare_device_batch(trg)
         # topology may be precomputed on the host (data.host_topology) and
         # shipped with the batch — identical arrays, zero device build time.
         if topo_src is None:
@@ -353,6 +363,7 @@ class MM2D3DTask:
     ) -> Tuple[EvalMetrics, Dict[str, jax.Array]]:
         """One eval batch: losses + 2D/3D/ensemble confusion-matrix updates
         (train.py:297-339)."""
+        batch = prepare_device_batch(batch)
         if topo is None:
             topo = build_topology(batch, self.full_scale, self.num_planes,
                                   slot_profile=self.slot_profile)
@@ -400,6 +411,7 @@ class MM2D3DTask:
     def viz_forward(self, state: TrainState, batch: PointBatch):
         """Small-output forward for qualitative figures (train.py:226-241):
         dense 2D argmax, lifted 2D/3D point argmaxes, the 3D confidence gate."""
+        batch = prepare_device_batch(batch)
         topo = build_topology(batch, self.full_scale, self.num_planes,
                                   slot_profile=self.slot_profile)
         p2, _, _, _ = self._fwd2d(state.params2d, state.stats2d, batch, False)

@@ -31,12 +31,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import Loader, max_size_cycle
+from ..utils.logging import rank_zero
 from .metrics import iou_per_class
 from .step import EvalMetrics, MM2D3DTask, TrainState
 
 
 class CheckpointIO:
-    """last/best_2d/best_3d checkpoints + metadata via orbax."""
+    """last/best_2d/best_3d checkpoints + metadata via orbax.
+
+    Multi-process: every process participates in the (distributed) orbax
+    save/restore — orbax coordinates them — but the sidecar ``meta.json``
+    is written by process 0 only (shared-filesystem write race otherwise).
+    """
 
     def __init__(self, ckpt_dir: str):
         import orbax.checkpoint as ocp
@@ -52,8 +58,9 @@ class CheckpointIO:
         path = self._path(name)
         self._ckpt.save(path, state, force=True)
         self._ckpt.wait_until_finished()  # orbax saves are async
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
+        if rank_zero():
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
 
     def restore(self, name: str, template: TrainState):
         path = self._path(name)
@@ -93,6 +100,9 @@ class Trainer:
         strict_eval_overflow: bool = False,
         host_topology: bool = False,
         mesh=None,  # jax.sharding.Mesh for data-parallel training
+        prefetch_batches: int = 2,  # host->device double buffering depth
+        # (0 disables): loader collate + async device_put run in a
+        # background thread `depth` pairs ahead of the step dispatch
     ):
         self.task = task
         self.source_loader = source_loader
@@ -132,12 +142,15 @@ class Trainer:
             host_topology = available()
         self.host_topology = host_topology
         self.mesh = mesh
+        self.prefetch_batches = prefetch_batches
         self._sharded_train = None
         self._sharded_eval = None
+        self._sharded_viz = None
         if mesh is not None:
             from ..parallel.mesh import (
                 make_sharded_eval_step,
                 make_sharded_train_step,
+                make_sharded_viz_forward,
             )
 
             assert task.axis_name is not None, (
@@ -145,7 +158,12 @@ class Trainer:
             )
             self._sharded_train = make_sharded_train_step(task, mesh)
             self._sharded_eval = make_sharded_eval_step(task, mesh)
+            self._sharded_viz = make_sharded_viz_forward(task, mesh)
             self.host_topology = False  # topo is built inside the sharded step
+        # stdout/figure side-effects are process-0 only in multi-process
+        # runs (reference rank_zero_only, lib/logging/__init__.py:12);
+        # metric values are pmean'd/psum'd so every process agrees anyway
+        self._rank0 = rank_zero()
 
         self.global_step = 0
         self.start_epoch = 0
@@ -170,7 +188,11 @@ class Trainer:
             self.best.update(meta.get("best", {}))
             self.start_epoch = meta.get("epoch", -1) + 1
             self.global_step = meta.get("global_step", 0)
-            print(f"resumed from epoch {self.start_epoch}, step {self.global_step}")
+            if self._rank0:
+                print(
+                    f"resumed from epoch {self.start_epoch}, "
+                    f"step {self.global_step}"
+                )
 
     def _to_device(self, batch):
         if self.mesh is not None:
@@ -203,14 +225,25 @@ class Trainer:
                 pair_iter = prefetch_topology_pairs(
                     pair_iter, self.task.full_scale, self.task.num_planes
                 )
-            for item in pair_iter:
-                if self.host_topology:
-                    src, trg, topo_src, topo_trg = item
-                else:
-                    src, trg = item
-                    topo_src = topo_trg = None
-                src_dev = self._to_device(src)
-                trg_dev = self._to_device(trg)
+            def to_device_items(it):
+                for item in it:
+                    if self.host_topology:
+                        s, t, ts, tt = item
+                        yield (self._to_device(s), self._to_device(t),
+                               self._to_device(ts), self._to_device(tt))
+                    else:
+                        s, t = item
+                        yield self._to_device(s), self._to_device(t), None, None
+
+            items = to_device_items(pair_iter)
+            if self.prefetch_batches:
+                from ..data.loader import prefetched
+
+                # double buffering: loader collate + the async device_put
+                # issue run a couple of batches ahead in a background
+                # thread, overlapping host input with device compute
+                items = prefetched(items, self.prefetch_batches)
+            for src_dev, trg_dev, topo_src, topo_trg in items:
                 if (
                     self.train_log_images_step
                     and self.global_step % self.train_log_images_step == 0
@@ -224,7 +257,7 @@ class Trainer:
                 elif topo_src is not None:
                     self.state, logs = self.task.jit_train_step_pre(
                         self.state, src_dev, trg_dev, self._rng,
-                        self._to_device(topo_src), self._to_device(topo_trg),
+                        topo_src, topo_trg,
                     )
                 else:
                     self.state, logs = self.task.jit_train_step(
@@ -247,10 +280,11 @@ class Trainer:
             if pending_logs is not None:
                 self._flush_train_logs(*pending_logs)
                 pending_logs = None
-            print(
-                f"epoch {epoch}: {n} steps in {time.time() - t_epoch:.1f}s",
-                flush=True,
-            )
+            if self._rank0:
+                print(
+                    f"epoch {epoch}: {n} steps in {time.time() - t_epoch:.1f}s",
+                    flush=True,
+                )
 
             if (epoch + 1) % self.check_val_every == 0 or epoch == self.max_epochs - 1:
                 self.validate(epoch)
@@ -274,37 +308,58 @@ class Trainer:
         ):
             if host.get(key, 0.0) > 0 and key not in self._overflow_warned:
                 self._overflow_warned.add(key)
-                print(
-                    f"WARNING: {key} = {host[key]:.0f} at step {step} — "
-                    f"dropped topology entries make the computed gradients "
-                    f"inconsistent with the forward; {fix}.",
-                    flush=True,
-                )
+                if self._rank0:
+                    print(
+                        f"WARNING: {key} = {host[key]:.0f} at step {step} — "
+                        f"dropped topology entries make the computed gradients "
+                        f"inconsistent with the forward; {fix}.",
+                        flush=True,
+                    )
         self.logger.log_metrics(
             {**host, **self.task.current_lrs(step)}, step,
         )
 
     def _log_images(self, batch, stage: str):
         """Qualitative point-overlay figure of the first sample
-        (reference train.py:226-241 -> lib/utils/visualize.py:474-553)."""
+        (reference train.py:226-241 -> lib/utils/visualize.py:474-553).
+
+        Multi-process: the viz forward is an SPMD computation so EVERY
+        process runs it; only process 0 reads its first local sample and
+        draws/writes the figure (rank_zero_only equivalent)."""
         if self.class_palette is None or self.viz_dir is None:
             return
         from ..utils.visualize import draw_points_image_labels_with_confidence
 
-        out = self.task.jit_viz_forward(self.state, batch)
-        mask = np.asarray(batch.point_mask[0])
-        idx = np.asarray(batch.img_indices[0])[mask]
+        if self._sharded_viz is not None:
+            out = self._sharded_viz(self.state, batch)
+        else:
+            out = self.task.jit_viz_forward(self.state, batch)
+        if not self._rank0:
+            return
+
+        def first(x):
+            # a globally-sharded array's remote shards are not addressable
+            # from this process — read the first sample of OUR local shard
+            if jax.process_count() > 1 and hasattr(x, "addressable_data"):
+                return np.asarray(x.addressable_data(0))[0]
+            return np.asarray(x[0])
+
+        mask = first(batch.point_mask)
+        idx = first(batch.img_indices)[mask]
+        img0 = first(batch.img)
+        if img0.dtype == np.uint8:  # wire format ships raw uint8 pixels
+            img0 = img0.astype(np.float32) / 255.0
         path = osp.join(
             self.viz_dir, f"{stage}_step{self.global_step}.png"
         )
         os.makedirs(self.viz_dir, exist_ok=True)
         draw_points_image_labels_with_confidence(
-            np.asarray(batch.img[0]),
-            np.asarray(out["pred_2d_dense"][0]),
-            np.asarray(out["pred_2d_points"][0])[mask],
-            np.asarray(out["pred_3d_points"][0])[mask],
-            np.asarray(out["confidence"][0])[mask],
-            np.asarray(batch.seg_label[0])[mask],
+            img0,
+            first(out["pred_2d_dense"]),
+            first(out["pred_2d_points"])[mask],
+            first(out["pred_3d_points"])[mask],
+            first(out["confidence"])[mask],
+            first(batch.seg_label)[mask],
             idx,
             color_palette=self.class_palette,
             out_path=path,
@@ -352,7 +407,8 @@ class Trainer:
             )
             if self.strict_eval_points:
                 raise RuntimeError(msg)
-            print(f"WARNING: {msg}", flush=True)
+            if self._rank0:
+                print(f"WARNING: {msg}", flush=True)
 
         out = {f"{stage}/points_dropped": float(points_dropped)}
         for head, cm in (
@@ -361,8 +417,12 @@ class Trainer:
             ("_avg", metrics.cm_avg),
         ):
             ious = np.asarray(iou_per_class(cm))
-            print(f"{stage} {head or '2d'}:")
-            print([(c, round(float(v), 4)) for c, v in zip(self.class_names, ious)])
+            if self._rank0:
+                print(f"{stage} {head or '2d'}:")
+                print(
+                    [(c, round(float(v), 4))
+                     for c, v in zip(self.class_names, ious)]
+                )
             out[f"{stage}/iou{head}"] = float(ious.mean())
         if losses:
             keys = list(losses[0])
@@ -392,7 +452,8 @@ class Trainer:
             )
             if self.strict_eval_overflow:
                 raise RuntimeError(msg)
-            print(f"WARNING: {msg}", flush=True)
+            if self._rank0:
+                print(f"WARNING: {msg}", flush=True)
         return out
 
     def validate(self, epoch: int) -> Dict[str, float]:

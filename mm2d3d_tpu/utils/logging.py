@@ -198,8 +198,16 @@ def create_logger(cfg: Optional[Dict], out_dir: str = ".", resume: bool = False)
 
     Persists run ids to <out_dir>/run_id.yaml; on resume, re-attaches to the
     recorded runs (reference lib/logging/__init__.py:52-72).
+
+    Rank-zero only: non-zero processes get an empty (no-op) collection — no
+    duplicate W&B/MLflow runs, no racing writes to metrics.jsonl or
+    run_id.yaml (the metric VALUES are identical on every process anyway:
+    they are pmean'd/psum'd inside the sharded steps).
     """
     import yaml
+
+    if not rank_zero():
+        return LoggerCollection([])
 
     run_id_path = osp.join(out_dir, "run_id.yaml")
     saved_ids: Dict[str, str] = {}
@@ -250,7 +258,10 @@ def create_logger(cfg: Optional[Dict], out_dir: str = ".", resume: bool = False)
 
 def snapshot_code(out_dir: str, repo_root: str):
     """Code-snapshot artifact (reference run.py:184-196): copy the package
-    source into the run dir for provenance."""
+    source into the run dir for provenance.  Rank-zero only (the reference
+    guards artifact logging the same way, lib/logging/__init__.py:114)."""
+    if not rank_zero():
+        return None
     dst = osp.join(out_dir, "code_snapshot")
     src = osp.join(repo_root, "mm2d3d_tpu")
     if osp.isdir(src):

@@ -1,14 +1,14 @@
 """Worker process for the true multi-process test (tests/test_multihost.py).
 
-Each process owns 4 virtual CPU devices (8 global over 2 processes),
+Each process owns 2 virtual CPU devices (4 global over 2 processes),
 initializes the real `jax.distributed` runtime against a localhost
 coordinator, loads ONLY its per-process shard through `data.loader.Loader
 (num_shards, shard_id)`, assembles the global batch via
 `parallel.mesh.shard_batch` (the `make_array_from_process_local_data` seam),
 and runs one sharded train step.  Prints the pmean'd loss — identical on
-every process and equal to the single-process 8-device run by construction.
+every process and equal to the single-process 4-device run by construction.
 
-Run with process_id -1 for the single-process 8-device reference.
+Run with process_id -1 for the single-process 4-device reference.
 """
 
 from __future__ import annotations
@@ -48,24 +48,134 @@ def make_dataset(n_scans: int):
     return TinyDataset()
 
 
-def main():
-    process_id = int(sys.argv[1])
-    port = sys.argv[2]
-    n_local_dev = 4
-
+def _init_runtime(process_id: int, port: str, n_local_dev: int = 4):
     os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={n_local_dev if process_id >= 0 else 8}"
+        f"--xla_force_host_platform_device_count="
+        f"{n_local_dev if process_id >= 0 else 2 * n_local_dev}"
     )
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache, in a multihost-test-OWNED dir: without it
+    # every worker subprocess recompiles every graph cold on every run;
+    # sharing the main suite's dir cross-contaminates (entries written by
+    # TPU-attached processes carry different CPU target features and are
+    # rejected with a mismatch warning)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mm2d3d_jax_cache_mh")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     if process_id >= 0:
         jax.distributed.initialize(
             coordinator_address=f"localhost:{port}",
             num_processes=2,
             process_id=process_id,
         )
-        assert jax.device_count() == 8 and jax.local_device_count() == 4
+        assert jax.device_count() == 2 * n_local_dev
+        assert jax.local_device_count() == n_local_dev
+    return jax
+
+
+def run_fit(process_id: int, port: str, out_dir: str):
+    """2-process `Trainer.fit`: 2 epochs, per-epoch sharded validation over
+    a padded-tail loader, distributed orbax save, then a resume round trip.
+    Prints BEST/RESUME lines the parent compares across processes.
+
+    Runs 1 virtual device per process (2 gloo ranks): the fit loop creates
+    many more collective computations than the 2-step test above, and every
+    8-rank gloo context rendezvous is a 30s-timeout window that flakes on a
+    single-core host while XLA compiles hold the core.  The multi-PROCESS
+    seams under test (per-process loader shards, process-local array
+    assembly, pmean across processes, distributed orbax, rank-zero
+    artifacts) are identical at 1 device/process; the step test keeps
+    2 devices/process for device-count coverage."""
+    import json
+
+    jax = _init_runtime(process_id, port, n_local_dev=1)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mm2d3d_tpu.data.loader import Loader
+    from mm2d3d_tpu.parallel.mesh import make_mesh
+    from mm2d3d_tpu.train.step import MM2D3DTask
+    from mm2d3d_tpu.train.trainer import Trainer
+    from mm2d3d_tpu.utils.logging import create_logger
+
+    num_shards = 2 if process_id >= 0 else 1
+    shard_id = max(process_id, 0)
+    per_process = 8 // num_shards
+
+    def make_task():
+        return MM2D3DTask(
+            num_classes=4, full_scale=64, num_planes=2, m=4,
+            compute_dtype=jnp.float32, axis_name="data",
+            optimizer_2d={"name": "adamw", "lr": 1e-3},
+            optimizer_3d={"name": "adamw", "lr": 1e-3},
+        )
+
+    def make_loaders():
+        kw = dict(n_points=128, num_shards=num_shards, shard_id=shard_id)
+        return (
+            Loader(make_dataset(16), batch_size=per_process, shuffle=True,
+                   drop_last=True, seed=7, **kw),
+            Loader(make_dataset(16), batch_size=per_process, shuffle=True,
+                   drop_last=True, seed=8, **kw),
+            # 10 % 8 != 0: the padded global tail batch is exercised in a
+            # TRUE multi-process validation loop
+            Loader(make_dataset(10), batch_size=per_process, **kw),
+        )
+
+    mesh = make_mesh()
+    src, trg, val = make_loaders()
+    logger = create_logger({}, out_dir=out_dir)
+    prefetch = int(os.environ.get("MM2D3D_TEST_PREFETCH", "2"))
+    trainer = Trainer(
+        make_task(), source_loader=src, target_loader=trg, val_loader=val,
+        ckpt_dir=os.path.join(out_dir, "ckpts"), max_epochs=2,
+        check_val_every_n_epoch=1, logger=logger, seed=3, mesh=mesh,
+        prefetch_batches=prefetch,
+    )
+    trainer.fit()
+    print("BEST " + json.dumps(trainer.best, sort_keys=True), flush=True)
+
+    # resume round trip through the distributed orbax restore
+    src2, trg2, val2 = make_loaders()
+    trainer2 = Trainer(
+        make_task(), source_loader=src2, target_loader=trg2, val_loader=val2,
+        ckpt_dir=os.path.join(out_dir, "ckpts"), max_epochs=2, seed=3,
+        mesh=mesh,
+    )
+    first = next(iter(src2))
+    from mm2d3d_tpu.parallel.mesh import shard_batch
+
+    trainer2.init_or_resume(shard_batch(first, mesh), resume=True)
+    checksum = float(
+        sum(
+            np.abs(np.asarray(jax.device_get(x))).sum()
+            for x in jax.tree_util.tree_leaves(trainer2.state.params2d)
+        )
+    )
+    ref = float(
+        sum(
+            np.abs(np.asarray(jax.device_get(x))).sum()
+            for x in jax.tree_util.tree_leaves(trainer.state.params2d)
+        )
+    )
+    assert checksum == ref, (checksum, ref)
+    print(f"RESUME {trainer2.start_epoch} {checksum:.8f}", flush=True)
+    print("WORKER OK", flush=True)
+
+
+def main():
+    process_id = int(sys.argv[1])
+    port = sys.argv[2]
+    if len(sys.argv) > 3 and sys.argv[3] == "fit":
+        run_fit(process_id, port, sys.argv[4])
+        return
+
+    # 2 devices/process (4 gloo ranks): keeps multi-device-per-process
+    # coverage while halving the 30s-window gloo rendezvous surface that
+    # flakes on this single-core host (see run_fit's note)
+    jax = _init_runtime(process_id, port, n_local_dev=2)
 
     import jax.numpy as jnp
     import numpy as np

@@ -325,6 +325,71 @@ def test_image_cache_roundtrip(tmp_path, rng):
                          image_cache_dir=cache_dir)
 
 
+def test_device_image_ops_parity(tmp_path, rng):
+    """Wire format (uint8 img + device jitter + device feats gather) must
+    reproduce the host float pipeline exactly (same RNG stream => same
+    jitter factors/order/fliplr/3D draws; device math == host math up to
+    float reduction order)."""
+    import pickle
+
+    import jax
+    from PIL import Image
+
+    from mm2d3d_tpu.data.base import collate
+    from mm2d3d_tpu.data.nuscenes import NuScenesLidarSeg
+    from mm2d3d_tpu.train.batch import prepare_device_batch
+
+    root = str(tmp_path)
+    img = (rng.rand(90, 160, 3) * 255).astype(np.uint8)
+    os.makedirs(osp.join(root, "samples"))
+    Image.fromarray(img).save(osp.join(root, "samples", "f0.jpg"), quality=95)
+    n = 60
+    rec = {
+        "points": rng.randn(n, 3).astype(np.float32) * 5,
+        "pts_cam_coord": np.abs(rng.randn(n, 3).astype(np.float32)) + 1,
+        "seg_labels": rng.randint(0, 17, n).astype(np.uint8),
+        "points_img": np.stack(
+            [rng.uniform(0, 89, n), rng.uniform(0, 159, n)], 1
+        ).astype(np.float32),
+        "camera_path": "samples/f0.jpg",
+        "calib": {"cam_intrinsic": [[100.0, 0, 80], [0, 100.0, 45], [0, 0, 1]]},
+    }
+    with open(osp.join(root, "train_usa.pkl"), "wb") as f:
+        pickle.dump([rec], f)
+
+    kw = dict(split=("train_usa",), preprocess_dir=root, nuscenes_dir=root,
+              resize=(40, 22), color_jitter=(0.4, 0.4, 0.4), fliplr=0.5)
+    host_ds = NuScenesLidarSeg(**kw)
+    wire_ds = NuScenesLidarSeg(**kw, device_image_ops=True)
+
+    for seed in range(4):  # several seeds => both fliplr branches + orders
+        a = host_ds.__getitem__(0, rng=np.random.RandomState(seed))
+        b = wire_ds.__getitem__(0, rng=np.random.RandomState(seed))
+        assert b["img"].dtype == np.uint8 and b["feats"] is None
+        # identical RNG stream: geometry unchanged
+        np.testing.assert_array_equal(a["coords"], b["coords"])
+        np.testing.assert_array_equal(a["img_indices"], b["img_indices"])
+        batch = collate([b], n_points=64)
+        assert batch.feats_from_img and batch.jitter_params.shape == (1, 4)
+        prepared = jax.jit(prepare_device_batch)(
+            jax.tree_util.tree_map(lambda x: x, batch)
+        )
+        # tolerance: one uint8 quantization of the float resize output
+        # (the decoded-image cache path is already uint8 here — exact);
+        # jitter can scale it by up to 1.4
+        np.testing.assert_allclose(
+            np.asarray(prepared.img[0]), a["img"], atol=1.0 / 255
+        )
+        m = int(batch.point_mask.sum())
+        np.testing.assert_allclose(
+            np.asarray(prepared.feats[0])[:m], a["feats"][:m], atol=1.0 / 255
+        )
+    # normalizer is host-path only
+    with pytest.raises(ValueError):
+        NuScenesLidarSeg(**kw, device_image_ops=True,
+                         image_normalizer=((0.5,) * 3, (0.5,) * 3))
+
+
 def test_resolve_num_workers():
     from mm2d3d_tpu.run import resolve_num_workers
 
@@ -332,6 +397,62 @@ def test_resolve_num_workers():
     assert resolve_num_workers("2") == 2
     auto = resolve_num_workers("auto")
     assert isinstance(auto, int) and auto >= 0
+
+
+def test_doctor_validates_data_dir(tmp_path, rng, capsys):
+    """tools.doctor: a healthy synthetic dataset passes; schema breakage
+    (missing key, misaligned per-point arrays, missing image, bad split
+    name) is reported with actionable messages instead of failing deep in
+    a jitted trace."""
+    import pickle
+
+    from PIL import Image
+
+    from mm2d3d_tpu.tools import doctor
+
+    root = str(tmp_path)
+    os.makedirs(osp.join(root, "samples"))
+    img = (rng.rand(45, 80, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(osp.join(root, "samples", "f0.jpg"))
+    n = 40
+    rec = {
+        "points": rng.randn(n, 3).astype(np.float32),
+        "pts_cam_coord": np.abs(rng.randn(n, 3).astype(np.float32)) + 1,
+        "seg_labels": rng.randint(0, 17, n).astype(np.uint8),
+        "points_img": np.stack(
+            [rng.uniform(0, 44, n), rng.uniform(0, 79, n)], 1
+        ).astype(np.float32),
+        "camera_path": "samples/f0.jpg",
+        "calib": {"cam_intrinsic": np.eye(3).tolist()},
+    }
+    with open(osp.join(root, "train_usa.pkl"), "wb") as f:
+        pickle.dump([rec], f)
+
+    rc = doctor.main(["--preprocess-dir", root, "--scenario", "nuscenes",
+                      "--splits", "train_usa", "--data-dir", root,
+                      "--resize", "40", "22"])
+    assert rc == 0, capsys.readouterr().out
+
+    # break it: drop a key + misalign a per-point array + missing image
+    bad = dict(rec)
+    del bad["pts_cam_coord"]
+    rec2 = dict(rec)
+    rec2["seg_labels"] = rec["seg_labels"][:-3]
+    rec3 = dict(rec)
+    rec3["camera_path"] = "samples/missing.jpg"
+    with open(osp.join(root, "train_sing.pkl"), "wb") as f:
+        pickle.dump([bad, rec2, rec3], f)
+    rc = doctor.main(["--preprocess-dir", root, "--scenario", "nuscenes",
+                      "--splits", "train_sing", "--data-dir", root,
+                      "--sample", "3"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "missing keys ['pts_cam_coord']" in out
+    assert "must align" in out
+    assert "missing.jpg" in out and "missing" in out
+    # unknown split
+    rc = doctor.main(["--preprocess-dir", root, "--splits", "nope"])
+    assert rc == 1
 
 
 def test_native_numpy_image_op_parity(rng):

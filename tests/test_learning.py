@@ -52,7 +52,9 @@ def test_trainer_learns_separable_task(tmp_path):
         optimizer_2d={"name": "adamw", "lr": 1e-3},
         optimizer_3d={"name": "adamw", "lr": 5e-3},
     )
-    n_train, epochs = 6, 25  # 150 steps
+    n_train, epochs = 6, 20  # 120 steps (the 0.85 bar is passed well
+    # before 150; trimmed per the round-3 review so the slow tier stays
+    # runnable — measured 0.95/0.96/0.96 at 120 steps)
     trainer = Trainer(
         task,
         source_loader=SepLoader(range(0, n_train)),
@@ -60,7 +62,7 @@ def test_trainer_learns_separable_task(tmp_path):
         val_loader=SepLoader([500, 501]),  # held out
         ckpt_dir=str(tmp_path / "ckpts"),
         max_epochs=epochs,
-        check_val_every_n_epoch=5,
+        check_val_every_n_epoch=8,  # 2 mid-run validations + the final one
     )
     trainer.fit()
 
@@ -97,3 +99,73 @@ def test_trainer_learns_separable_task(tmp_path):
     a = jax.tree_util.tree_leaves(trainer.state.params2d)[0]
     b = jax.tree_util.tree_leaves(trainer2.state.params2d)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Flagship conv path: the tiered/split slot machinery under end-to-end
+# learning (the round-3 review's gap: unit VJP tests covered the tiers, but
+# no e2e learning signal flowed through them — a tier-dropping bug the unit
+# geometries miss would pass everything).
+# ---------------------------------------------------------------------------
+
+FS7 = 512
+KW7 = dict(height=32, width=64, n_points=2048, num_classes=6,
+           full_scale=FS7, separable=True, variant="kitti")
+
+
+class SepLoader7(SepLoader):
+    def __iter__(self):
+        for s in self.seeds:
+            yield make_batch(
+                np.random.RandomState(s), batch_size=self.batch_size, **KW7
+            )
+
+
+def test_trainer_learns_through_tiered_slots(tmp_path):
+    """End-to-end learning with the PRODUCTION slot machinery: 5 levels of
+    3-tier (mid + heavy compacted) tables on the dense 64-beam geometry.
+    First asserts the mid/heavy tiers are actually populated (a config
+    where they are empty would prove nothing), then that held-out mIoU is
+    reached — gradients flowing wrongly through any tier cap it."""
+    from mm2d3d_tpu.train.batch import build_topology
+
+    task = MM2D3DTask(
+        num_classes=6, full_scale=FS7, num_planes=5, m=8,
+        compute_dtype=jnp.float32, slot_profile="dense",
+        optimizer_2d={"name": "adamw", "lr": 1e-3},
+        optimizer_3d={"name": "adamw", "lr": 5e-3},
+    )
+
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, next(iter(SepLoader7([0], batch_size=4)))
+    )
+    _, hier = jax.jit(
+        lambda b: build_topology(b, FS7, 5, slot_profile="dense")
+    )(batch)
+    mid = heavy = 0
+    for lev in hier.levels:
+        v_pad = lev.slot_src.shape[1]
+        if lev.slot_idxm is not None:
+            mid += int((np.asarray(lev.slot_idxm) < v_pad).sum())
+        if lev.slot_idx is not None:
+            heavy += int((np.asarray(lev.slot_idx) < v_pad).sum())
+    # the dense 64-beam geometry populates thousands of mid-tier and
+    # hundreds of heavy-tier voxels — the tiers are genuinely exercised
+    assert mid > 1000, mid
+    assert heavy > 100, heavy
+
+    n_train, epochs = 6, 15  # 90 steps
+    trainer = Trainer(
+        task,
+        source_loader=SepLoader7(range(0, n_train)),
+        target_loader=SepLoader7(range(100, 100 + n_train)),
+        val_loader=SepLoader7([500, 501]),
+        ckpt_dir=str(tmp_path / "ckpts"),
+        max_epochs=epochs,
+        check_val_every_n_epoch=epochs,  # final validation only
+    )
+    trainer.fit()
+    results = trainer.validate(epochs - 1)
+    assert results["val/target/iou"] >= 0.85, results
+    assert results["val/target/iou_3d"] >= 0.85, results
+    assert results["val/target/iou_avg"] >= 0.85, results

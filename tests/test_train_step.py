@@ -113,6 +113,43 @@ def test_sharded_train_and_eval_step():
     assert np.isfinite(np.asarray(elogs["loss_segmentation"]))
 
 
+def test_wire_format_step_parity():
+    """uint8 wire batches (device /255 + feats gather) must produce the
+    same train/eval results as their float twins — the wire format is a
+    transfer optimization, not a semantic change."""
+    rng = np.random.RandomState(3)
+    wire = make_batch(rng, batch_size=2, wire=True, **TINY)
+    assert wire.img.dtype == np.uint8 and wire.feats is None
+    # float twin: exactly what prepare_device_batch reconstructs
+    img_f = wire.img.astype(np.float32) * np.float32(1.0 / 255.0)
+    feats = np.stack(
+        [img_f[i][wire.img_indices[i, :, 0], wire.img_indices[i, :, 1]]
+         for i in range(2)]
+    )
+    twin = wire.replace(img=img_f, feats=feats, feats_from_img=False)
+    wire, twin = jax.tree_util.tree_map(jnp.asarray, (wire, twin))
+
+    task = _task()
+    state = task.init_state(jax.random.PRNGKey(0), twin)
+    step = jax.jit(task.train_step)
+    _, logs_w = step(state, wire, wire, jax.random.PRNGKey(1))
+    _, logs_f = step(state, twin, twin, jax.random.PRNGKey(1))
+    for k in logs_f:
+        np.testing.assert_allclose(
+            np.asarray(logs_w[k]), np.asarray(logs_f[k]), rtol=2e-5,
+            atol=1e-6, err_msg=k,
+        )
+
+    metrics_w, _ = task.jit_eval_step(state, wire, EvalMetrics.create(6))
+    metrics_f, _ = task.jit_eval_step(state, twin, EvalMetrics.create(6))
+    np.testing.assert_array_equal(
+        np.asarray(metrics_w.cm_2d), np.asarray(metrics_f.cm_2d)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(metrics_w.cm_3d), np.asarray(metrics_f.cm_3d)
+    )
+
+
 def test_train_overfits_tiny_batch(batches):
     """30 repeated steps on one tiny batch must steadily cut the seg losses.
 

@@ -121,6 +121,107 @@ def main():
         print(f"{'bwd + optimizers (step - fwds)':36s} {t_step - t_f2:8.2f} ms")
         print(f"train scans/s (16/step): {16 * 1000 / t_step:.1f}")
 
+        # ---- finer split of the backward+optimizer block (round-4 verdict
+        # item: the ~129 ms beyond the forwards was unitemized).  Each
+        # ablation consumes every live output so the outer jit cannot DCE
+        # the work being measured (see train_once above).
+        def consume(acc, tree):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                if hasattr(leaf, "reshape") and getattr(leaf, "size", 0):
+                    acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+            return acc
+
+        def _loss_fn(params2d, params3d, state, src, trg, rng):
+            """Inline replica of train_step's loss (both domains)."""
+            from mm2d3d_tpu.train.batch import (
+                build_topology as bt,
+                flatten_points,
+                prepare_device_batch,
+            )
+
+            src = prepare_device_batch(src)
+            trg = prepare_device_batch(trg)
+            ts = bt(src, task.full_scale, task.num_planes)
+            tt = bt(trg, task.full_scale, task.num_planes)
+            r1, r2 = jax.random.split(rng)
+            _, _, labels_src, mask_src, _ = flatten_points(src)
+            _, _, _, mask_trg, _ = flatten_points(trg)
+            from mm2d3d_tpu.train.losses import kl_consistency
+
+            stats2d, stats3d = state.stats2d, state.stats3d
+            p2s, _, a2s, stats2d = task._fwd2d(params2d, stats2d, src, True, r1)
+            p3s, _, a3s, stats3d = task._fwd3d(params3d, stats3d, src, *ts, True)
+            flat2s = p2s["seg_logit"].reshape(-1, task.num_classes)
+            loss = task._seg_loss(flat2s, labels_src, mask_src)
+            loss += task._seg_loss(p3s["seg_logit"], labels_src, mask_src)
+            loss += kl_consistency(
+                a2s["seg_logit_avg"].reshape(-1, task.num_classes),
+                p3s["seg_logit"], mask_src)
+            loss += kl_consistency(a3s["seg_logit_point"], flat2s, mask_src)
+            p2t, _, a2t, stats2d = task._fwd2d(params2d, stats2d, trg, True, r2)
+            p3t, _, a3t, stats3d = task._fwd3d(params3d, stats3d, trg, *tt, True)
+            flat2t = p2t["seg_logit"].reshape(-1, task.num_classes)
+            loss += 0.1 * kl_consistency(
+                a2t["seg_logit_avg"].reshape(-1, task.num_classes),
+                p3t["seg_logit"], mask_trg)
+            loss += 0.1 * kl_consistency(a3t["seg_logit_point"], flat2t, mask_trg)
+            return loss, (stats2d, stats3d)
+
+        rng2 = jax.random.PRNGKey(1)
+
+        def grad_both(state, src, trg):
+            g, (s2, s3) = jax.grad(
+                lambda a, b: _loss_fn(a, b, state, src, trg, rng2),
+                argnums=(0, 1), has_aux=True,
+            )(state.params2d, state.params3d)
+            return consume(consume(jnp.float32(0), g), (s2, s3))
+
+        def grad_2d(state, src, trg):
+            g, aux = jax.grad(
+                lambda a: _loss_fn(a, state.params3d, state, src, trg, rng2),
+                has_aux=True,
+            )(state.params2d)
+            return consume(consume(jnp.float32(0), g), aux)
+
+        def grad_3d(state, src, trg):
+            g, aux = jax.grad(
+                lambda b: _loss_fn(state.params2d, b, state, src, trg, rng2),
+                has_aux=True,
+            )(state.params3d)
+            return consume(consume(jnp.float32(0), g), aux)
+
+        def step_no_opt(state, src, trg):
+            g, aux = jax.grad(
+                lambda a, b: _loss_fn(a, b, state, src, trg, rng2),
+                argnums=(0, 1), has_aux=True,
+            )(state.params2d, state.params3d)
+            return consume(consume(jnp.float32(0), g), aux)
+
+        def opt_only(state, g2, g3):
+            up2, o2 = task.tx2d.update(g2, state.opt2d, state.params2d)
+            up3, o3 = task.tx3d.update(g3, state.opt3d, state.params3d)
+            import optax as _ox
+
+            new = (_ox.apply_updates(state.params2d, up2),
+                   _ox.apply_updates(state.params3d, up3), o2, o3)
+            return consume(jnp.float32(0), new)
+
+        t_gboth = timeit("fwd+bwd both branches", grad_both, state,
+                         batches[0], batches[1])
+        t_g2d = timeit("fwd+bwd 2D only", grad_2d, state,
+                       batches[0], batches[1])
+        t_g3d = timeit("fwd+bwd 3D only", grad_3d, state,
+                       batches[0], batches[1])
+        zeros2 = jax.tree_util.tree_map(jnp.zeros_like, state.params2d)
+        zeros3 = jax.tree_util.tree_map(jnp.zeros_like, state.params3d)
+        t_opt = timeit("optimizers only (2x AdamW+OneCycle)", opt_only,
+                       state, zeros2, zeros3)
+        print(f"{'bwd total (grad - fwds)':36s} {t_gboth - t_f2:8.2f} ms")
+        print(f"{'bwd 2D marginal':36s} {t_g2d - t_f2:8.2f} ms")
+        print(f"{'bwd 3D marginal':36s} {t_g3d - t_f2:8.2f} ms")
+        print(f"{'step overhead (step-grad-opt)':36s} "
+              f"{t_step - t_gboth - t_opt:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()

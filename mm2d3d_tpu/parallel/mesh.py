@@ -87,7 +87,11 @@ def make_sharded_train_step(task, mesh: Mesh):
         out_specs=(replicated, replicated),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(0,))
+    # donation off by default — see MM2D3DTask jit helpers (donated-state
+    # chains measured up to 10x slower on the tunneled backend)
+    from ..train.step import MM2D3DTask
+
+    return jax.jit(mapped, donate_argnums=MM2D3DTask._donate((0,)))
 
 
 def make_sharded_viz_forward(task, mesh: Mesh):
@@ -139,4 +143,6 @@ def make_sharded_eval_step(task, mesh: Mesh):
         out_specs=(replicated, replicated),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(2,))
+    from ..train.step import MM2D3DTask
+
+    return jax.jit(mapped, donate_argnums=MM2D3DTask._donate((2,)))

@@ -433,10 +433,24 @@ class MM2D3DTask:
         return jax.jit(self.viz_forward)
 
     # -- jit helpers ---------------------------------------------------------
+    #
+    # Buffer donation is OFF by default: on the tunneled TPU backend the
+    # donated-state train-step chain measured 371-2240 ms/step vs a flat
+    # ~209 ms without donation (tools/exp_chain_step.py — donation forces
+    # some pathological buffer round trip), and even on healthy backends
+    # the saving is just one extra TrainState copy (~0.4 GB at flagship
+    # scale, far under the batch-8 HBM headroom).  MM2D3D_DONATE=1 turns
+    # it back on for memory-constrained configurations.
+
+    @staticmethod
+    def _donate(argnums):
+        import os
+
+        return argnums if os.environ.get("MM2D3D_DONATE") == "1" else ()
 
     @functools.cached_property
     def jit_train_step(self):
-        return jax.jit(self.train_step, donate_argnums=(0,))
+        return jax.jit(self.train_step, donate_argnums=self._donate((0,)))
 
     @functools.cached_property
     def jit_train_step_pre(self):
@@ -445,12 +459,12 @@ class MM2D3DTask:
             lambda state, src, trg, rng, ts, tt: self.train_step(
                 state, src, trg, rng, ts, tt
             ),
-            donate_argnums=(0,),
+            donate_argnums=self._donate((0,)),
         )
 
     @functools.cached_property
     def jit_eval_step(self):
-        return jax.jit(self.eval_step, donate_argnums=(2,))
+        return jax.jit(self.eval_step, donate_argnums=self._donate((2,)))
 
     @functools.cached_property
     def jit_eval_step_pre(self):
@@ -458,7 +472,7 @@ class MM2D3DTask:
             lambda state, batch, metrics, topo: self.eval_step(
                 state, batch, metrics, topo
             ),
-            donate_argnums=(2,),
+            donate_argnums=self._donate((2,)),
         )
 
     def __hash__(self):

@@ -78,6 +78,7 @@ def main():
     wire = not args.no_wire
 
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/mm2d3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -179,8 +180,15 @@ def main():
     trainer.validate = lambda epoch: {}  # no eval/ckpt inside the timing
     # warm epoch: compile + file caches (limit_train_batches bounds it)
     trainer.fit()
+    # FENCE before timing: fit returns after async dispatch; without a
+    # readback here the measured epoch would absorb the warm epoch's
+    # still-executing device work (measured exactly 2x step time)
+    float(np.asarray(
+        jax.tree_util.tree_leaves(trainer.state.opt2d)[0]
+    ).reshape(-1)[0])
     # measured epoch through the same fit path
     trainer.start_epoch, trainer.max_epochs = 1, 2
+    g0 = trainer.global_step
     t0 = time.perf_counter()
     trainer.fit()
     # fence: a readback so queued device work is counted in the wall clock
@@ -188,9 +196,71 @@ def main():
         jax.tree_util.tree_leaves(trainer.state.params2d)[0]
     ).reshape(-1)[0])
     dt = time.perf_counter() - t0
-    steps = args.steps
+    steps = trainer.global_step - g0  # actual steps this epoch
+    result["e2e_steps_measured"] = steps
     result["e2e_train_scans_per_sec"] = round(2 * BATCH * steps / dt, 2)
     result["e2e_ms_per_step"] = round(1000 * dt / steps, 1)
+
+    # ---- controls: attribute the e2e-vs-device gap ------------------------
+    # (a) precollated host batches (no loader work in the loop)
+    class ListLoader:
+        def __init__(self, items):
+            self.items = items
+
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return args.steps
+
+        def __iter__(self):
+            for i in range(args.steps):
+                yield self.items[i % len(self.items)]
+
+    host_batches = []
+    it = iter(src_loader)
+    for _ in range(4):
+        host_batches.append(next(it))
+
+    def timed_fit(tr):
+        tr.validate = lambda epoch: {}
+        # fresh copy: jit_train_step donates its input state, so sharing
+        # one state object across trainers aliases deleted buffers
+        tr.state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), trainer.state
+        )
+        tr.max_epochs = 1
+        tr.fit()  # warm
+        float(np.asarray(  # fence (see above)
+            jax.tree_util.tree_leaves(tr.state.opt2d)[0]
+        ).reshape(-1)[0])
+        tr.start_epoch, tr.max_epochs = 1, 2
+        t0 = time.perf_counter()
+        tr.fit()
+        float(np.asarray(
+            jax.tree_util.tree_leaves(tr.state.params2d)[0]
+        ).reshape(-1)[0])
+        return (time.perf_counter() - t0) / args.steps * 1000
+
+    tr_a = Trainer(task, source_loader=ListLoader(host_batches),
+                   target_loader=ListLoader(host_batches),
+                   ckpt_dir=osp.join(tmp, "ck2"), max_epochs=1,
+                   check_val_every_n_epoch=1000,
+                   limit_train_batches=args.steps)
+    result["ctrl_host_batches_ms_per_step"] = round(timed_fit(tr_a), 1)
+
+    # (b) preloaded DEVICE batches (no loader, no transfer)
+    dev_batches = [jax.tree_util.tree_map(
+        lambda x: None if x is None else jnp.asarray(x), b
+    ) for b in host_batches]
+    jax.block_until_ready(jax.tree_util.tree_leaves(dev_batches[0]))
+    tr_b = Trainer(task, source_loader=ListLoader(dev_batches),
+                   target_loader=ListLoader(dev_batches),
+                   ckpt_dir=osp.join(tmp, "ck3"), max_epochs=1,
+                   check_val_every_n_epoch=1000,
+                   limit_train_batches=args.steps)
+    tr_b._to_device = lambda b: b
+    result["ctrl_device_batches_ms_per_step"] = round(timed_fit(tr_b), 1)
     src_loader.close()
     trg_loader.close()
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import os.path as osp
 import sys
 import tempfile
@@ -86,7 +85,6 @@ def main():
 
     from __graft_entry__ import _flagship_task
     from bench_loader import make_on_disk_dataset
-    from mm2d3d_tpu.data.loader import max_size_cycle, prefetched
     from mm2d3d_tpu.train.trainer import Trainer
 
     tmp = tempfile.mkdtemp(prefix="mm2d3d_e2e_")
@@ -111,7 +109,7 @@ def main():
     src_loader, trg_loader = make_loaders(tmp, cache_dir, 0, wire)
     batches = []
     it = iter(src_loader)
-    warm = next(it)  # warm imports/native lib
+    next(it)  # warm imports/native lib
     t0 = time.perf_counter()
     for _ in range(4):
         batches.append(next(it))

@@ -82,10 +82,21 @@ class Loader:
         # constructed loaders on the always-safe device-sort path.
         self.full_scale = full_scale
         self.epoch = 0
+        # within-epoch restart counter (max_size_cycle): folded into the
+        # per-sample seed so the shorter loader RE-DRAWS augmentations on
+        # every cycle (torch DataLoader re-draws too; without it the second
+        # cycle replays bit-identical augmentations, shrinking augmentation
+        # diversity exactly on the smaller UDA domain).  Reset by set_epoch,
+        # so (seed, epoch, cycle, index) stays fully reproducible.
+        self.cycle = 0
         self._pool = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        self.cycle = 0
+
+    def set_cycle(self, cycle: int):
+        self.cycle = cycle
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -98,7 +109,10 @@ class Loader:
         return (n + g - 1) // g
 
     def _sample_seed(self, index: int) -> int:
-        return (self.seed * 1_000_003 + self.epoch * 97 + index) % (2**31 - 1)
+        return (
+            self.seed * 1_000_003 + self.epoch * 97
+            + self.cycle * 15_485_863 + index
+        ) % (2**31 - 1)
 
     def _pool_handle(self):
         if self.num_workers > 0 and self._pool is None:
@@ -292,9 +306,20 @@ def prefetched(gen, depth: int = 2):
 
 def max_size_cycle(source: Loader, target: Loader):
     """Pair source/target batches, cycling the shorter loader (Lightning's
-    multiple_trainloader_mode="max_size_cycle")."""
+    multiple_trainloader_mode="max_size_cycle").
+
+    Each within-epoch restart of a loader bumps its cycle counter
+    (`Loader.set_cycle`) so the repeated domain draws FRESH augmentations
+    per cycle while staying reproducible across reruns."""
     n = max(len(source), len(target))
-    src_it = itertools.chain.from_iterable(itertools.repeat(source))
-    trg_it = itertools.chain.from_iterable(itertools.repeat(target))
+
+    def cycled(loader):
+        for c in itertools.count():
+            if hasattr(loader, "set_cycle"):
+                loader.set_cycle(c)
+            for batch in loader:
+                yield batch
+
+    src_it, trg_it = cycled(source), cycled(target)
     for _ in range(n):
         yield next(src_it), next(trg_it)

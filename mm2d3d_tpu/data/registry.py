@@ -50,12 +50,18 @@ def load_datamodule(
     num_shards: int = 1,
     shard_id: int = 0,
     full_scale: int = 4096,
+    eval_n_points: Optional[int] = None,
 ) -> DataModule:
     """Build the four datasets + loaders for a UDA scenario.
 
     name: "nuscenes" | "a2d2_semantic_kitti" | "vkitti_semantic_kitti"
     cfg_source/cfg_target: dicts with TRAIN/VAL/TEST split lists plus
       dataset-specific paths (preprocess_dir, nuscenes_dir, ...).
+    eval_n_points: separate point budget for the val/test loaders (defaults
+      to `n_points`).  The reference evaluates EVERY in-bounds point
+      (train.py:319-330); real 64-beam scans can exceed a training budget
+      tuned for speed, so evaluation gets its own (usually larger) budget
+      — training keeps the tight one.
     """
     specific = specific or {}
     augmentations = augmentations or {}
@@ -67,7 +73,15 @@ def load_datamodule(
     # is forced when an image_normalizer is configured (device path does
     # not support it).
     common.setdefault(
-        "device_image_ops", not common.get("image_normalizer")
+        "device_image_ops",
+        # the device path has no normalizer hook, so a normalizer ANYWHERE
+        # (specific or merged train augmentations) forces the host path —
+        # for every dataset, so train and val see identically prepared
+        # images
+        not (
+            common.get("image_normalizer")
+            or augmentations.get("image_normalizer")
+        ),
     )
     shared_kw = dict(short_run=short_run, reduce_factor=reduce_factor)
 
@@ -166,6 +180,7 @@ def load_datamodule(
         raise ValueError(f"unknown datamodule {name!r}")
 
     test_bs = test_batch_size or batch_size
+    eval_np = eval_n_points or n_points
     shard_kw = dict(num_shards=num_shards, shard_id=shard_id,
                     full_scale=full_scale)
     # NB multi-host (num_shards > 1): val/test loaders shard too; the tail
@@ -179,9 +194,9 @@ def load_datamodule(
         target_train=Loader(trg_train, batch_size, n_points, shuffle=True,
                             drop_last=True, seed=seed + 1, num_workers=num_workers,
                             **shard_kw),
-        target_val=Loader(trg_val, test_bs, n_points, num_workers=num_workers,
+        target_val=Loader(trg_val, test_bs, eval_np, num_workers=num_workers,
                           pad_last=True, **shard_kw),
-        target_test=Loader(trg_test, test_bs, n_points, num_workers=num_workers,
+        target_test=Loader(trg_test, test_bs, eval_np, num_workers=num_workers,
                            pad_last=True, **shard_kw),
         num_classes=src_train.num_classes,
         class_names=list(src_train.merged_class_names),

@@ -127,6 +127,8 @@ def make_sharded_eval_step(task, mesh: Mesh):
     data = PartitionSpec(DATA_AXIS)
 
     def step(state, batch, metrics):
+        import jax.numpy as jnp
+
         new_metrics, logs = task.eval_step(state, batch, metrics)
         # metrics passed in replicated; each device added its local counts.
         # Sum the *deltas* so replicated input + global delta stays correct.
@@ -134,7 +136,26 @@ def make_sharded_eval_step(task, mesh: Mesh):
             lambda new, old: jax.lax.psum(new - old, DATA_AXIS), new_metrics, metrics
         )
         summed = jax.tree_util.tree_map(lambda old, d: old + d, metrics, delta)
-        return summed, jax.lax.pmean(logs, DATA_AXIS)
+        # losses are masked means over each shard's valid points: average
+        # them weighted by the per-shard valid count (psum num/denom), not
+        # pmean — a padded-tail shard with FEW (or zero: pure filler) valid
+        # points would otherwise bias the reported val loss toward its
+        # degenerate 0 value.  Other scalars (overflow counters) stay pmean.
+        w = logs.get("valid_weight")
+        if w is not None:
+            wsum = jax.lax.psum(w, DATA_AXIS)
+            out_logs = {
+                k: (
+                    jax.lax.psum(v * w, DATA_AXIS) / jnp.maximum(wsum, 1.0)
+                    if k.startswith("loss")
+                    else wsum if k == "valid_weight"
+                    else jax.lax.pmean(v, DATA_AXIS)
+                )
+                for k, v in logs.items()
+            }
+        else:
+            out_logs = jax.lax.pmean(logs, DATA_AXIS)
+        return summed, out_logs
 
     mapped = jax.shard_map(
         step,

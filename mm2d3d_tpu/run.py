@@ -184,6 +184,7 @@ def build_datamodule(cfg: Dict, num_shards: int = 1, shard_id: int = 0):
         batch_size=per_process,
         test_batch_size=None if test_bs is None else test_bs // num_shards,
         n_points=cfg["train"].get("n_points", 8192),
+        eval_n_points=cfg["train"].get("eval_n_points"),
         num_workers=resolve_num_workers(cfg["train"].get("num_workers", "auto")),
         augmentations=ds.get("augmentations"),
         specific=ds.get("specific"),

@@ -98,6 +98,7 @@ def check_split(
     image_cache_dir: Optional[str] = None,
     num_classes_raw: Optional[int] = None,
     sample: int = 5,
+    point_counts: Optional[Dict] = None,
 ):
     path = osp.join(preprocess_dir, split + ".pkl")
     if not osp.exists(path):
@@ -119,6 +120,23 @@ def check_split(
         return
     doc.ok()
     print(f"{split}: {len(records)} scans")
+
+    # full-split point-count distribution: sizes the static n_points /
+    # eval_n_points budgets (pad_sample truncates scans over budget; at
+    # EVAL that silently drops points from the metric — the reference
+    # evaluates every in-bounds point, train.py:319-330)
+    counts = np.array([
+        len(r["points"]) for r in records
+        if isinstance(r, dict) and "points" in r
+    ])
+    if counts.size:
+        p50, p99 = np.percentile(counts, [50, 99]).astype(int)
+        print(
+            f"{split}: points/scan min={counts.min()} p50={p50} "
+            f"p99={p99} max={counts.max()}"
+        )
+        if point_counts is not None:
+            point_counts[split] = counts
 
     cache = None
     if image_cache_dir:
@@ -283,12 +301,61 @@ def _raw_classes(kind: str) -> Optional[int]:
     return None  # kitti-family labels are id-keyed, not dense
 
 
+def check_point_budgets(
+    doc: Doctor,
+    cfg: Dict,
+    train_counts: Dict,
+    eval_counts: Dict,
+):
+    """Compare the configured static point budgets against the actual
+    per-split point-count distributions and recommend both.
+
+    - train.n_points should cover the TRAIN splits' p99 (the tail over it
+      is truncated — a monitored speed/quality trade-off);
+    - train.eval_n_points must cover the target VAL/TEST splits' MAX: the
+      reference evaluates every in-bounds point, so a too-small eval
+      budget is flagged as a problem, not a preference.
+    """
+    tr = cfg.get("train", {})
+    n_points = int(tr.get("n_points", 8192))
+    eval_np = tr.get("eval_n_points") or n_points
+
+    def rec(x):  # round a budget up to the next multiple of 1024
+        return int(-(-int(x) // 1024) * 1024)
+
+    if train_counts:
+        p99 = int(np.percentile(np.concatenate(list(train_counts.values())), 99))
+        print(f"recommended train.n_points >= {rec(p99)} (train p99 {p99}; "
+              f"configured {n_points})")
+        if p99 > n_points:
+            print(
+                f"NOTE: train.n_points={n_points} truncates >1% of training "
+                f"scans (p99 {p99}) — monitored as train/points_dropped; "
+                f"raise it if the truncation hurts"
+            )
+        doc.ok()
+    if eval_counts:
+        mx = int(max(c.max() for c in eval_counts.values()))
+        print(f"recommended train.eval_n_points >= {rec(mx)} (eval max {mx}; "
+              f"configured {eval_np})")
+        if mx > eval_np:
+            doc.problem(
+                f"eval point budget {eval_np} < largest eval scan ({mx} "
+                "points): evaluation would truncate in-bounds points and "
+                "the reported IoU would miss them",
+                f"set train.eval_n_points: {rec(mx)} (evaluation-only — "
+                "training keeps its own n_points budget)")
+        else:
+            doc.ok()
+
+
 def run_from_config(cfg: Dict, sample: int = 5) -> int:
     doc = Doctor()
     ds = cfg["dataset"]
     kinds = _SCENARIO_DATASETS[ds["name"]]
     specific = ds.get("specific") or {}
     resize = specific.get("resize")
+    train_counts, eval_counts = {}, {}
     for side, kind in zip(("source", "target"), kinds):
         side_cfg = ds[side]
         pre = side_cfg["preprocess_dir"]
@@ -300,21 +367,29 @@ def run_from_config(cfg: Dict, sample: int = 5) -> int:
             doc.problem(f"{side}: preprocess_dir {pre} does not exist",
                         f"set dataset.{side}.preprocess_dir")
             continue
-        splits = []
+        any_split = False
         for key in ("TRAIN", "VAL", "TEST"):
-            splits.extend(side_cfg.get(key) or [])
-        if not splits:
+            for split in side_cfg.get(key) or []:
+                any_split = True
+                # the registry evaluates on the TARGET val/test loaders
+                # (data/registry.py) — those splits set the eval budget
+                counts = (
+                    eval_counts if side == "target" and key != "TRAIN"
+                    else train_counts if key == "TRAIN" else {}
+                )
+                check_split(
+                    doc, kind, pre, split, data_dir=data_dir,
+                    resize=tuple(resize) if resize else None,
+                    image_cache_dir=side_cfg.get("image_cache_dir"),
+                    num_classes_raw=_raw_classes(kind), sample=sample,
+                    point_counts=counts,
+                )
+        if not any_split:
             doc.problem(f"{side}: no TRAIN/VAL/TEST splits configured")
-        for split in splits:
-            check_split(
-                doc, kind, pre, split, data_dir=data_dir,
-                resize=tuple(resize) if resize else None,
-                image_cache_dir=side_cfg.get("image_cache_dir"),
-                num_classes_raw=_raw_classes(kind), sample=sample,
-            )
         if side_cfg.get("pselab_paths"):
             train = (side_cfg.get("TRAIN") or [None])[0]
             check_pselab(doc, side_cfg["pselab_paths"], pre, train)
+    check_point_budgets(doc, cfg, train_counts, eval_counts)
     return doc.report()
 
 
@@ -333,7 +408,17 @@ def main(argv=None):
     ap.add_argument("--pselab")
     ap.add_argument("--sample", type=int, default=5,
                     help="records checked per split")
-    args = ap.parse_args(argv)
+    ap.add_argument("--perf", action="store_true",
+                    help="re-measure the backend-sensitive performance "
+                    "defaults (donation / host topology / prefetch / "
+                    "workers) on THIS host and print the recommended "
+                    "config (tools.autotune)")
+    args, passthrough = ap.parse_known_args(argv)
+
+    if args.perf:
+        from .autotune import main as autotune_main
+
+        return autotune_main(passthrough)
 
     if args.config:
         from ..utils.config import load_config

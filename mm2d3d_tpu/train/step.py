@@ -393,6 +393,15 @@ class MM2D3DTask:
             ),
         )
         logs = {"loss_segmentation": loss_2d, "loss_segmentation_3d": loss_3d}
+        # number of valid labeled points behind the masked-mean losses: the
+        # sharded eval step and the trainer's cross-batch average weight the
+        # losses by it, so batches/shards that are partly (or, on a filler
+        # tail shard, entirely) padding don't bias the reported val loss —
+        # an all-filler shard's masked mean collapses to 0 and its weight
+        # to 0, so it simply drops out of the weighted mean
+        logs["valid_weight"] = jnp.sum(
+            ((labels != -100) & mask).astype(jnp.float32)
+        )
         # hits dropped by the slot-compacted conv tables: at inference this
         # would otherwise be completely silent (train_step logs it too)
         logs["nbr_slot_overflow"] = sum(

@@ -265,19 +265,22 @@ class Trainer:
                     )
                 self.global_step += 1
                 n += 1
-                if self.logger is not None:
-                    # one-step-delayed, batched readback: fetching the
-                    # PREVIOUS step's scalars (already computed) keeps the
-                    # dispatch pipeline full, and one stacked transfer
-                    # replaces a blocking per-key float() round trip —
-                    # per-scalar fetches over this backend's tunnel cost
-                    # ~1.4 ms each, more than the whole train step saves
-                    if pending_logs is not None:
-                        self._flush_train_logs(*pending_logs)
-                    pending_logs = (self.global_step, logs)
+                # one-step-delayed, batched readback: fetching the
+                # PREVIOUS step's scalars (already computed) keeps the
+                # dispatch pipeline full, and one stacked transfer
+                # replaces a blocking per-key float() round trip —
+                # per-scalar fetches over this backend's tunnel cost
+                # ~1.4 ms each, more than the whole train step saves
+                if pending_logs is not None and self.logger is not None:
+                    self._flush_train_logs(*pending_logs)
+                pending_logs = (self.global_step, logs)
                 if self.limit_train_batches and n >= self.limit_train_batches:
                     break
             if pending_logs is not None:
+                # flushed even with logger=None: the overflow monitors it
+                # carries warn about gradient corruption — a direct-API run
+                # without a logger must still hear that (one readback per
+                # epoch in that case)
                 self._flush_train_logs(*pending_logs)
                 pending_logs = None
             if self._rank0:
@@ -315,9 +318,10 @@ class Trainer:
                         f"inconsistent with the forward; {fix}.",
                         flush=True,
                     )
-        self.logger.log_metrics(
-            {**host, **self.task.current_lrs(step)}, step,
-        )
+        if self.logger is not None:
+            self.logger.log_metrics(
+                {**host, **self.task.current_lrs(step)}, step,
+            )
 
     def _log_images(self, batch, stage: str):
         """Qualitative point-overlay figure of the first sample
@@ -349,6 +353,18 @@ class Trainer:
         img0 = first(batch.img)
         if img0.dtype == np.uint8:  # wire format ships raw uint8 pixels
             img0 = img0.astype(np.float32) / 255.0
+            if batch.jitter_params is not None:
+                # the network consumed the device-jittered image
+                # (prepare_device_batch); draw the SAME image as backdrop,
+                # not the raw pixels, so the figure matches the input
+                from ..ops.image import apply_color_jitter
+
+                img0 = np.asarray(
+                    apply_color_jitter(
+                        jnp.asarray(img0)[None],
+                        jnp.asarray(first(batch.jitter_params))[None],
+                    )[0]
+                )
         path = osp.join(
             self.viz_dir, f"{stage}_step{self.global_step}.png"
         )
@@ -436,8 +452,22 @@ class Trainer:
                     ]
                 )
             )  # one transfer for the whole eval run
+            # loss scalars are masked means: average across batches weighted
+            # by each batch's valid point count so the padded tail batch
+            # (few real samples) doesn't count like a full one
+            w = (
+                stacked[keys.index("valid_weight")]
+                if "valid_weight" in keys else None
+            )
             for j, k in enumerate(keys):
-                out[f"{stage}/{k}"] = float(stacked[j].mean())
+                if k == "valid_weight":
+                    continue
+                if w is not None and k.startswith("loss"):
+                    out[f"{stage}/{k}"] = float(
+                        (stacked[j] * w).sum() / max(w.sum(), 1.0)
+                    )
+                else:
+                    out[f"{stage}/{k}"] = float(stacked[j].mean())
 
         # slot overflow at EVAL corrupts the numbers users actually report
         # (dropped conv hits change the predictions) — same loud treatment

@@ -483,3 +483,123 @@ def test_native_numpy_image_op_parity(rng):
         np.testing.assert_array_equal(l, l_ref)
     finally:
         A._USE_NATIVE = old
+
+
+def test_cycle_reseeds_augmentations(nusc_dir):
+    """max_size_cycle restarts of the shorter loader must RE-DRAW sample
+    augmentations (a within-epoch cycle counter folds into the sample
+    seed) — the second cycle differs from the first, but the whole paired
+    sequence is reproducible across reruns."""
+    aug = dict(noisy_rot=0.1, rot=6.28, transl=True, fliplr=0.5)
+    src = Loader(_dataset(nusc_dir, **aug), batch_size=1, n_points=256,
+                 seed=0)  # 4 batches/epoch
+    trg = Loader(
+        _dataset(nusc_dir, split=("train_singapore",), **aug),
+        batch_size=2, n_points=256, seed=1,
+    )  # 2 batches/epoch -> cycled twice
+    pairs = list(max_size_cycle(src, trg))
+    assert len(pairs) == 4
+    t = [np.asarray(p[1].coords) for p in pairs]
+    # cycle 1 revisits the same scans with FRESH augmentations
+    assert not np.array_equal(t[0], t[2])
+    assert not np.array_equal(t[1], t[3])
+    # reproducible: rerunning the same epoch yields the identical sequence
+    src.set_epoch(0)
+    trg.set_epoch(0)
+    for a, b in zip(pairs, max_size_cycle(src, trg)):
+        np.testing.assert_array_equal(np.asarray(a[1].coords),
+                                      np.asarray(b[1].coords))
+        np.testing.assert_array_equal(np.asarray(a[0].coords),
+                                      np.asarray(b[0].coords))
+
+
+def test_eval_n_points_budget(nusc_dir):
+    """`eval_n_points` decouples the evaluation point budget from the
+    training one: scans over the train budget evaluate UNTRUNCATED when it
+    is set (the reference evaluates every in-bounds point)."""
+    from mm2d3d_tpu.data.registry import load_datamodule
+
+    base = dict(preprocess_dir=osp.join(nusc_dir, "preprocess"),
+                nuscenes_dir=nusc_dir)
+    kw = dict(
+        cfg_source=dict(base, TRAIN=["train_usa"]),
+        cfg_target=dict(base, TRAIN=["train_singapore"],
+                        VAL=["val_singapore"], TEST=["test_singapore"]),
+        batch_size=2,
+        specific=dict(merge_classes=True, scale=20, full_scale=2048,
+                      resize=RESIZE, use_rgb=True),
+    )
+    # misconfigured: the 300-point scans exceed the 128 budget at EVAL too
+    dm = load_datamodule("nuscenes", n_points=128, **kw)
+    val = next(iter(dm.target_val))
+    assert val.coords.shape[1] == 128
+    assert int(np.sum(np.asarray(val.n_dropped))) > 0
+    # eval_n_points covers the scans: evaluation is untruncated while the
+    # TRAIN loaders keep the tight budget
+    dm2 = load_datamodule("nuscenes", n_points=128, eval_n_points=512, **kw)
+    assert next(iter(dm2.source_train)).coords.shape[1] == 128
+    val2 = next(iter(dm2.target_val))
+    assert val2.coords.shape[1] == 512
+    assert int(np.sum(np.asarray(val2.n_dropped))) == 0
+    test2 = next(iter(dm2.target_test))
+    assert test2.coords.shape[1] == 512
+
+
+def test_doctor_point_budget(tmp_path, rng, capsys):
+    """doctor scans each split's point-count distribution, recommends both
+    budgets, and FLAGS an eval budget smaller than the largest eval scan."""
+    import pickle
+
+    from PIL import Image
+
+    from mm2d3d_tpu.tools import doctor
+
+    root = str(tmp_path)
+    os.makedirs(osp.join(root, "samples"))
+    Image.fromarray(
+        (rng.rand(45, 80, 3) * 255).astype(np.uint8)
+    ).save(osp.join(root, "samples", "f0.jpg"))
+
+    def rec(n):
+        return {
+            "points": rng.randn(n, 3).astype(np.float32),
+            "pts_cam_coord": np.abs(rng.randn(n, 3).astype(np.float32)) + 1,
+            "seg_labels": rng.randint(0, 17, n).astype(np.uint8),
+            "points_img": np.stack(
+                [rng.uniform(0, 44, n), rng.uniform(0, 79, n)], 1
+            ).astype(np.float32),
+            "camera_path": "samples/f0.jpg",
+            "calib": {"cam_intrinsic": np.eye(3).tolist()},
+        }
+
+    for split, sizes in (
+        ("train_usa", [100, 120]),
+        ("train_singapore", [110, 130]),
+        ("val_singapore", [90, 300]),   # 300 > eval budget below
+        ("test_singapore", [80, 100]),
+    ):
+        with open(osp.join(root, f"{split}.pkl"), "wb") as f:
+            pickle.dump([rec(n) for n in sizes], f)
+
+    side = dict(preprocess_dir=root, nuscenes_dir=root)
+    cfg = {
+        "dataset": {
+            "name": "nuscenes",
+            "source": dict(side, TRAIN=["train_usa"]),
+            "target": dict(side, TRAIN=["train_singapore"],
+                           VAL=["val_singapore"], TEST=["test_singapore"]),
+            "specific": {"resize": [40, 22]},
+        },
+        "train": {"n_points": 128, "eval_n_points": None},
+    }
+    rc = doctor.run_from_config(cfg)
+    out = capsys.readouterr().out
+    assert rc == 1, out
+    assert "train.eval_n_points" in out and "truncate" in out
+    # recommendation lines carry the measured distribution
+    assert "recommended train.eval_n_points >= 1024" in out
+
+    cfg["train"]["eval_n_points"] = 1024
+    rc = doctor.run_from_config(cfg)
+    out = capsys.readouterr().out
+    assert rc == 0, out

@@ -122,12 +122,16 @@ def test_sharded_eval_tail_exact():
 
     metrics = replicate(EvalMetrics.create(4), mesh)
     eval_sharded = make_sharded_eval_step(task, mesh)
+    sharded_logs = []
     for b in batches:
-        metrics, _ = eval_sharded(state, shard_batch(b, mesh), metrics)
+        metrics, logs = eval_sharded(state, shard_batch(b, mesh), metrics)
+        sharded_logs.append(logs)
 
     ref = EvalMetrics.create(4)
+    ref_logs = []
     for b in Loader(DS(), batch_size=8, n_points=128):  # partial tail
-        ref, _ = task.eval_step(state, to_dev(b), ref)
+        ref, logs = task.eval_step(state, to_dev(b), ref)
+        ref_logs.append(logs)
 
     for name in ("cm_2d", "cm_3d", "cm_avg"):
         sharded_cm = np.asarray(getattr(metrics, name))
@@ -135,6 +139,47 @@ def test_sharded_eval_tail_exact():
         np.testing.assert_array_equal(sharded_cm, ref_cm, err_msg=name)
         # every real point is counted exactly once
         assert sharded_cm.sum() == 10 * 96
+
+    # val LOSSES are tail-exact too: the tail batch shards 2 real + 6
+    # pure-filler samples over the 8 devices; the count-weighted reduction
+    # (valid_weight) must drop the all-filler shards instead of pmean'ing
+    # their degenerate 0 losses into the reported loss
+    def weighted(logs_list, key):
+        num = sum(float(l[key]) * float(l["valid_weight"]) for l in logs_list)
+        den = sum(float(l["valid_weight"]) for l in logs_list)
+        return num / den
+
+    for key in ("loss_segmentation", "loss_segmentation_3d"):
+        np.testing.assert_allclose(
+            weighted(sharded_logs, key), weighted(ref_logs, key),
+            rtol=1e-5, err_msg=key,
+        )
+
+
+def test_overflow_warning_without_logger(tmp_path, monkeypatch, capsys):
+    """A direct-API fit WITHOUT a logger must still surface the
+    gradient-corrupting capacity monitors (round-4 verdict: the warning was
+    coupled to `_flush_train_logs`' logger branch).  Deliberately tiny
+    voxel capacities overflow every level; the loud warning must print."""
+    from mm2d3d_tpu.train import batch as B
+
+    monkeypatch.setattr(
+        B, "default_capacities",
+        lambda num_points, num_levels, batch_size=None, profile="default":
+        (16,) * num_levels,
+    )
+    trainer = Trainer(
+        _task(),
+        source_loader=SyntheticLoader(1, 0),
+        target_loader=SyntheticLoader(1, 50),
+        ckpt_dir=str(tmp_path / "ckpts"),
+        max_epochs=1,
+        limit_train_batches=1,
+    )
+    trainer.fit()
+    out = capsys.readouterr().out
+    assert "WARNING: train/voxel_overflow_levels" in out
+    assert "gradients" in out.lower()
 
 
 def test_trainer_fit_validate_resume(tmp_path):

@@ -30,6 +30,13 @@ import numpy as np
 
 from .hierarchy import GridLevel, LevelTransition
 
+# Debug-only fault injection (tools/check_flagship_learning.py --mutate):
+# when True the 3-tier submanifold adjoint SKIPS the compacted mid+heavy
+# tiers — the FORWARD stays exact while gradients silently lose the tail
+# contributions, exactly the bug class the flagship loss-trajectory band
+# must catch (no CPU test compiles this graph).  Never set in production.
+_DEBUG_DROP_COMPACT_TIERS_BWD = False
+
 
 def _pad_zero_row(feats: jax.Array) -> jax.Array:
     return jnp.concatenate(
@@ -307,22 +314,25 @@ def _subm_slots3_bwd(res, g):
     # adjoint conv through the same tier tables (cf. _subm_slots2_bwd)
     g1 = jnp.take(g_pad, s1, axis=0)
     d_feats = slot_conv_apply(_masked(g, valid), g1, t1, w_flip)
-    gm = jnp.take(g_pad, sm, axis=0)
-    d_feats = _gather_add_rows(
-        d_feats, invm, slot_conv_apply(None, gm, tm, w_flip, tap_lo=h1)
-    )
-    gh = jnp.take(g_pad, sh, axis=0)
-    d_feats = _scatter_add_rows(
-        d_feats, ih, slot_conv_apply(None, gh, th, w_flip, tap_lo=h1 + hm)
-    )
+    if not _DEBUG_DROP_COMPACT_TIERS_BWD:
+        gm = jnp.take(g_pad, sm, axis=0)
+        d_feats = _gather_add_rows(
+            d_feats, invm, slot_conv_apply(None, gm, tm, w_flip, tap_lo=h1)
+        )
+        gh = jnp.take(g_pad, sh, axis=0)
+        d_feats = _scatter_add_rows(
+            d_feats, ih, slot_conv_apply(None, gh, th, w_flip, tap_lo=h1 + hm)
+        )
 
     g_m = jnp.take(g_pad, im, axis=0)  # (Vm, Co)
     g_h = jnp.take(g_pad, ih, axis=0)  # (Vh, Co)
-    d_weight = (
-        slot_conv_dw(_masked(feats, valid), x1, t1, g)
-        + slot_conv_dw(None, xm, tm, g_m, tap_lo=h1)
-        + slot_conv_dw(None, xh, th, g_h, tap_lo=h1 + hm)
-    )
+    d_weight = slot_conv_dw(_masked(feats, valid), x1, t1, g)
+    if not _DEBUG_DROP_COMPACT_TIERS_BWD:
+        d_weight = (
+            d_weight
+            + slot_conv_dw(None, xm, tm, g_m, tap_lo=h1)
+            + slot_conv_dw(None, xh, th, g_h, tap_lo=h1 + hm)
+        )
     return (
         d_feats.astype(feats.dtype),
         d_weight.astype(weight.dtype),

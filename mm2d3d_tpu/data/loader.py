@@ -1,8 +1,9 @@
 """Host-side data loading: worker pools, deterministic RNG, batch assembly.
 
 Replaces torch DataLoader + Lightning's "max_size_cycle" multi-loader
-(``lib/dataset/__init__.py:299-389``, ``run.py:280-282``) with a fork-based
-worker pool that materializes statically padded `PointBatch`es.  Per-sample
+(``lib/dataset/__init__.py:299-389``, ``run.py:280-282``) with a
+forkserver-based worker pool that materializes statically padded
+`PointBatch`es.  Per-sample
 RNG is derived from (seed, epoch, index) so runs are reproducible regardless
 of worker scheduling (the reference seeds each worker once, making sample
 augmentations depend on worker assignment).
@@ -11,10 +12,21 @@ augmentations depend on worker assignment).
 from __future__ import annotations
 
 import itertools
+import os
 from multiprocessing import get_context
 from typing import Iterator, Optional
 
 import numpy as np
+
+# Worker start method.  Default FORKSERVER: the server process is exec'd
+# fresh, so pool children never inherit the parent's device-backend state —
+# fork()ing a process that holds live TPU-client/gRPC threads copies their
+# held locks into the child, which deadlocks the pool (observed on the
+# axon backend whenever a pool starts after jax.devices()).  Datasets are
+# pickled to the server's children (all shipped datasets are plain
+# data + paths).  MM2D3D_POOL_CTX=fork restores raw fork for exotic
+# unpicklable datasets — then create loaders BEFORE first device use.
+_POOL_CTX = os.environ.get("MM2D3D_POOL_CTX", "forkserver")
 
 from ..train.batch import PointBatch
 from .base import collate
@@ -90,6 +102,8 @@ class Loader:
         # so (seed, epoch, cycle, index) stays fully reproducible.
         self.cycle = 0
         self._pool = None
+        self._inflight = None  # pending pool results (drained by close()
+        # and at the next __iter__ after an abandoned epoch)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -116,7 +130,7 @@ class Loader:
 
     def _pool_handle(self):
         if self.num_workers > 0 and self._pool is None:
-            ctx = get_context("fork")
+            ctx = get_context(_POOL_CTX)
             self._pool = ctx.Pool(
                 self.num_workers, initializer=_worker_init, initargs=(self.dataset,)
             )
@@ -179,15 +193,50 @@ class Loader:
                 ]
                 yield finish(samples, n_pad)
         else:
-            args = [
+            # BOUNDED submission window (not one big imap over the epoch):
+            # an epoch-sized backlog can fill the pool's task pipe, and
+            # `Pool.terminate()` then deadlocks joining its task-feeder
+            # thread blocked mid-`put` (observed whenever a consumer stops
+            # early — limit_train_batches, exceptions — and close() runs).
+            # A ~2-batch window keeps workers reading ahead while keeping
+            # the in-flight backlog far below the pipe capacity.
+            from collections import deque
+
+            # a previous iteration abandoned mid-epoch (limit_train_batches,
+            # exceptions) leaves its window of results in flight; drain them
+            # first or the workers stay blocked on the clogged result pipe
+            # and this epoch's tasks never run
+            leftover = self._inflight
+            while leftover:
+                try:
+                    leftover.popleft().get(timeout=60)
+                except Exception:
+                    pass
+
+            args = iter(
                 (int(i), self._sample_seed(int(i)))
                 for b, _ in batches
                 for i in b
-            ]
-            it = pool.imap(_worker_get, args, chunksize=1)
+            )
+            window = max(2 * self.batch_size, 4 * self.num_workers)
+            pending: deque = deque()
+            self._inflight = pending  # close() drains these (see below)
+
+            def refill():
+                while len(pending) < window:
+                    a = next(args, None)
+                    if a is None:
+                        return
+                    pending.append(pool.apply_async(_worker_get, (a,)))
+
+            refill()
             for idxs, n_pad in batches:
-                samples = [next(it) for _ in idxs]
+                samples = []
+                for _ in idxs:
+                    samples.append(pending.popleft().get())
+                    refill()
                 yield finish(samples, n_pad)
+            self._inflight = None
 
     def iterate(self, num_iterations: int) -> Iterator[PointBatch]:
         """Yield exactly `num_iterations` batches, cycling epochs with
@@ -203,7 +252,22 @@ class Loader:
 
     def close(self):
         if self._pool is not None:
-            self._pool.terminate()
+            # Drain in-flight results, then close GRACEFULLY.  Never
+            # Pool.terminate() with results in flight: workers block
+            # mid-`put` of multi-hundred-KB samples on the full result
+            # pipe, and terminate() deadlocks joining the feeder thread
+            # against those clogged pipes (observed hard-hang whenever a
+            # consumer stopped early — limit_train_batches, probe loops).
+            # The window bound above keeps this drain to <= ~2 batches.
+            inflight = getattr(self, "_inflight", None)
+            while inflight:
+                try:
+                    inflight.popleft().get(timeout=60)
+                except Exception:
+                    pass  # worker error/timeout: still unclogs the pipe
+            self._inflight = None
+            self._pool.close()
+            self._pool.join()
             self._pool = None
 
 

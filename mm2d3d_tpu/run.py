@@ -367,9 +367,17 @@ def main(argv=None):
             jax.random.PRNGKey(0),
         )
 
-    if run_cfg.get("mode", "train") == "train":
-        trainer.fit(resume=run_cfg.get("resume", False))
-    trainer.test()
+    try:
+        if run_cfg.get("mode", "train") == "train":
+            trainer.fit(resume=run_cfg.get("resume", False))
+        trainer.test()
+    finally:
+        # drain + close the worker pools even on an aborted run: a pool
+        # torn down by interpreter-exit with results in flight can hang
+        # on its clogged pipes (see data.loader.Loader.close)
+        for lo in (dm.source_train, dm.target_train, dm.target_val,
+                   dm.target_test):
+            lo.close()
     logger.finish()
 
 

@@ -394,6 +394,15 @@ def run_from_config(cfg: Dict, sample: int = 5) -> int:
 
 
 def main(argv=None):
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if "--perf" in argv:
+        # forward everything else verbatim to autotune (parsing here would
+        # let doctor's positional `overrides` swallow autotune's values)
+        argv.remove("--perf")
+        from .autotune import main as autotune_main
+
+        return autotune_main(argv)
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", help="experiment config (checks every "
                     "configured split of both domains)")
@@ -412,13 +421,9 @@ def main(argv=None):
                     help="re-measure the backend-sensitive performance "
                     "defaults (donation / host topology / prefetch / "
                     "workers) on THIS host and print the recommended "
-                    "config (tools.autotune)")
-    args, passthrough = ap.parse_known_args(argv)
-
-    if args.perf:
-        from .autotune import main as autotune_main
-
-        return autotune_main(passthrough)
+                    "config (tools.autotune; handled above, listed here "
+                    "for --help)")
+    args = ap.parse_args(argv)
 
     if args.config:
         from ..utils.config import load_config

@@ -603,3 +603,20 @@ def test_doctor_point_budget(tmp_path, rng, capsys):
     rc = doctor.run_from_config(cfg)
     out = capsys.readouterr().out
     assert rc == 0, out
+
+
+def test_pooled_loader_early_exit_and_close(nusc_dir):
+    """Abandoning a pooled epoch mid-way (limit_train_batches, exceptions)
+    must not clog the pool: the next __iter__ drains the in-flight window,
+    and close() drains then closes gracefully (Pool.terminate with results
+    in flight deadlocks on the clogged result pipe)."""
+    ds = _dataset(nusc_dir)
+    lo = Loader(ds, batch_size=2, n_points=256, seed=0, num_workers=2)
+    try:
+        it = iter(lo)
+        next(it)  # abandon with the rest of the window in flight
+        b = next(iter(lo))  # a fresh epoch still serves batches
+        assert b.coords.shape == (2, 256, 3)
+    finally:
+        lo.close()  # must return, not deadlock
+    assert lo._pool is None

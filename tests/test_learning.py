@@ -20,7 +20,9 @@ from mm2d3d_tpu.data.synthetic import make_batch
 from mm2d3d_tpu.train.step import MM2D3DTask
 from mm2d3d_tpu.train.trainer import Trainer
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.xslow]  # two real 90-120-step
+# training runs through Trainer.fit on CPU — the e2e LEARNING evidence;
+# minutes per test, so the nightly/CI tier (see pytest.ini)
 
 FULL_SCALE = 512
 KW = dict(height=32, width=64, n_points=768, num_classes=6,

@@ -20,7 +20,10 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.xslow]  # multi-process: each
+# test spawns 2-3 jax.distributed CPU processes that compile their graphs
+# (gloo-retry machinery can rerun a whole attempt) — minutes per test on a
+# single-core host; see the tier policy in pytest.ini
 
 WORKER = osp.join(osp.dirname(__file__), "_multihost_worker.py")
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))

@@ -227,3 +227,51 @@ def test_trainer_fit_validate_resume(tmp_path):
     a = jax.tree_util.tree_leaves(state.params2d)[0]
     b = jax.tree_util.tree_leaves(trainer2.state.params2d)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_strict_eval_points(tmp_path):
+    """An eval loader whose scans exceed the point budget truncates
+    in-bounds points: strict mode refuses to report the metric, and a
+    larger (eval_n_points-style) budget clears it untruncated."""
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, index, rng=None):
+            r = np.random.RandomState(3000 + index)
+            n, h, w = 96, 16, 24
+            idx = np.stack([r.randint(0, h, n), r.randint(0, w, n)], 1)
+            depth = np.zeros((h, w, 1), np.float32)
+            depth[idx[:, 0], idx[:, 1], 0] = r.rand(n) * 50
+            return {
+                "img": r.rand(h, w, 3).astype(np.float32),
+                "depth": depth,
+                "img_indices": idx.astype(np.int64),
+                "coords": r.randint(0, 64, (n, 3)).astype(np.int64),
+                "feats": r.rand(n, 3).astype(np.float32),
+                "seg_label": r.randint(0, 4, n).astype(np.int64),
+            }
+
+    from mm2d3d_tpu.data.loader import Loader
+
+    task = MM2D3DTask(
+        num_classes=4, full_scale=64, num_planes=2, m=4,
+        compute_dtype=jnp.float32,
+    )
+    trainer = Trainer(
+        task, source_loader=None, target_loader=None,
+        ckpt_dir=str(tmp_path / "ckpts"), strict_eval_points=True,
+    )
+    tight = Loader(DS(), batch_size=4, n_points=64)  # 96-pt scans truncate
+    first = next(iter(tight))
+    trainer.state = task.init_state(
+        jax.random.PRNGKey(0), trainer._to_device(first)
+    )
+    with pytest.raises(RuntimeError, match="truncated"):
+        trainer._run_eval(tight, "val/target")
+
+    # the decoupled eval budget covers the scans: no truncation, no raise
+    out = trainer._run_eval(Loader(DS(), batch_size=4, n_points=128),
+                            "val/target")
+    assert out["val/target/points_dropped"] == 0.0

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import time
 from multiprocessing import get_context
 from typing import Iterator, Optional
 
@@ -26,6 +27,10 @@ import numpy as np
 # pickled to the server's children (all shipped datasets are plain
 # data + paths).  MM2D3D_POOL_CTX=fork restores raw fork for exotic
 # unpicklable datasets — then create loaders BEFORE first device use.
+# As with every spawning start method, user SCRIPTS that define custom
+# datasets must be import-safe (top-level work behind an
+# `if __name__ == "__main__":` guard) — forkserver children re-import
+# the main module, and an unguarded script re-runs itself in each worker.
 _POOL_CTX = os.environ.get("MM2D3D_POOL_CTX", "forkserver")
 
 from ..train.batch import PointBatch
@@ -207,9 +212,11 @@ class Loader:
             # first or the workers stay blocked on the clogged result pipe
             # and this epoch's tasks never run
             leftover = self._inflight
+            deadline = time.monotonic() + 60  # total, not per result
             while leftover:
                 try:
-                    leftover.popleft().get(timeout=60)
+                    leftover.popleft().get(
+                        timeout=max(0.1, deadline - time.monotonic()))
                 except Exception:
                     pass
 
@@ -260,14 +267,31 @@ class Loader:
             # consumer stopped early — limit_train_batches, probe loops).
             # The window bound above keeps this drain to <= ~2 batches.
             inflight = getattr(self, "_inflight", None)
+            deadline = time.monotonic() + 60  # total, not per result
             while inflight:
                 try:
-                    inflight.popleft().get(timeout=60)
+                    inflight.popleft().get(
+                        timeout=max(0.1, deadline - time.monotonic()))
                 except Exception:
                     pass  # worker error/timeout: still unclogs the pipe
             self._inflight = None
             self._pool.close()
-            self._pool.join()
+            # Bound the join: with the result pipe drained above, join()
+            # returns promptly unless a worker is wedged INSIDE
+            # dataset.__getitem__ (disk/NFS stall, fork-context deadlock).
+            # Those tasks keep running after the drain's .get(timeout)
+            # gave up, and a bare join() would then hang the whole process
+            # (run.py closes loaders in a finally precisely to shut down
+            # cleanly).  Once the pipe is unclogged, terminate() no longer
+            # risks the feeder-thread deadlock — kill the wedged worker.
+            import threading
+
+            joiner = threading.Thread(target=self._pool.join, daemon=True)
+            joiner.start()
+            joiner.join(timeout=30)
+            if joiner.is_alive():
+                self._pool.terminate()
+                joiner.join(timeout=30)
             self._pool = None
 
 

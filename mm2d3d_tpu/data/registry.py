@@ -72,16 +72,21 @@ def load_datamodule(
     # scenario with `datasets.specific.device_image_ops: false`; host path
     # is forced when an image_normalizer is configured (device path does
     # not support it).
+    if augmentations.get("image_normalizer"):
+        # augmentations are merged into TRAIN datasets only (reference
+        # lib/dataset/__init__.py:181-209 does the same), so a normalizer
+        # here would train on normalized images and evaluate on /255-only
+        # ones — a silent train/eval input-distribution mismatch.  Refuse
+        # loudly; `specific` applies to all four datasets.
+        raise ValueError(
+            "image_normalizer belongs under datasets.specific (it must "
+            "apply identically to train AND val/test datasets), not under "
+            "datasets.augmentations, which only reaches the train datasets"
+        )
     common.setdefault(
-        "device_image_ops",
-        # the device path has no normalizer hook, so a normalizer ANYWHERE
-        # (specific or merged train augmentations) forces the host path —
-        # for every dataset, so train and val see identically prepared
-        # images
-        not (
-            common.get("image_normalizer")
-            or augmentations.get("image_normalizer")
-        ),
+        # the device image path has no normalizer hook, so a configured
+        # normalizer forces the host path for every dataset
+        "device_image_ops", not common.get("image_normalizer"),
     )
     shared_kw = dict(short_run=short_run, reduce_factor=reduce_factor)
 

@@ -37,15 +37,15 @@ import numpy as np
 
 BATCH = 8
 N_POINTS = 8192
-FLAGSHIP = dict(num_classes=6, full_scale=4096, num_planes=7, m=16)
 
 
 def _flagship_task():
-    import jax.numpy as jnp
+    # the ONE flagship definition (also behind bench.py and
+    # __graft_entry__), so the probed graphs are byte-identical to the
+    # production graph the other tools measure
+    from ..flagship import flagship_task
 
-    from ..train.step import MM2D3DTask
-
-    return MM2D3DTask(compute_dtype=jnp.bfloat16, **FLAGSHIP)
+    return flagship_task()
 
 
 def _mk_batch(seed):
@@ -240,7 +240,16 @@ class SynthDataset:
 
 
 def probe_workers(iters, worker_counts=(0, 2, 4)):
-    """Worker-pool scaling of the real per-sample augment+pad host pipeline."""
+    """Worker-pool scaling of the real per-sample augment+pad host pipeline.
+
+    Times one FULL epoch after a full warm epoch: the pooled loader
+    pre-submits a ~2-batch readahead window, so timing from mid-epoch
+    (after a warm batch) hands the pool up to 2 batches of free head
+    start and overstates its rate vs num_workers=0.  A complete epoch has
+    no freebies — the window refills inside the first timed next() and
+    drains to empty by the last — and the warm epoch absorbs the one-time
+    pool/imports startup for both paths."""
+    del iters  # epoch length (len(SynthDataset()) / BATCH) fixes the work
     from ..data.loader import Loader
 
     rates = {}
@@ -248,14 +257,11 @@ def probe_workers(iters, worker_counts=(0, 2, 4)):
         lo = Loader(SynthDataset(), batch_size=BATCH, n_points=N_POINTS,
                     shuffle=True, seed=0, num_workers=w, full_scale=4096)
         try:
-            it = iter(lo)
-            next(it)  # warm pool/imports
+            n_warm = sum(b.batch_size for b in lo)  # warm full epoch
             t0 = time.perf_counter()
-            n = 0
-            for _ in range(min(iters, 6)):
-                b = next(it)
-                n += b.batch_size
+            n = sum(b.batch_size for b in lo)
             rates[str(w)] = n / (time.perf_counter() - t0)
+            assert n == n_warm
         finally:
             lo.close()
     best = max(rates, key=lambda k: rates[k])

@@ -88,6 +88,22 @@ def _check_array(doc, where, rec, key, ndim, n_points=None, dtype_kind=None):
     return v
 
 
+def _in_grid_count(rec, scale, full_scale, camera_coords) -> int:
+    """Points that land inside the scaled full_scale grid — what the
+    runtime budget actually applies to (the datasets filter to in-bounds
+    BEFORE pad_sample truncates; raw record counts overestimate for
+    64-beam scans whose far points fall outside the grid).  Computed with
+    the eval-path transform (no augmentation: coords = points*scale
+    shifted to the positive octant).  Still an upper bound on loaded
+    points: image-FoV crops (KITTI-family) can only reduce it further."""
+    pts = rec.get("pts_cam_coord") if camera_coords else rec.get("points")
+    if pts is None:
+        pts = rec.get("points")
+    c = np.asarray(pts, np.float64) * scale
+    c -= c.min(axis=0)
+    return int((c < full_scale).all(axis=1).sum())
+
+
 def check_split(
     doc: Doctor,
     scenario: str,
@@ -99,6 +115,10 @@ def check_split(
     num_classes_raw: Optional[int] = None,
     sample: int = 5,
     point_counts: Optional[Dict] = None,
+    counts_key: Optional[str] = None,
+    scale: Optional[float] = None,
+    full_scale: Optional[int] = None,
+    camera_coords: bool = False,
 ):
     path = osp.join(preprocess_dir, split + ".pkl")
     if not osp.exists(path):
@@ -125,18 +145,23 @@ def check_split(
     # eval_n_points budgets (pad_sample truncates scans over budget; at
     # EVAL that silently drops points from the metric — the reference
     # evaluates every in-bounds point, train.py:319-330)
-    counts = np.array([
-        len(r["points"]) for r in records
-        if isinstance(r, dict) and "points" in r
-    ])
+    recs = [r for r in records if isinstance(r, dict) and "points" in r]
+    if scale is not None and full_scale is not None:
+        counts = np.array([
+            _in_grid_count(r, scale, full_scale, camera_coords) for r in recs
+        ])
+        kind_note = "in-grid points"
+    else:
+        counts = np.array([len(r["points"]) for r in recs])
+        kind_note = "raw points (no scale/full_scale given)"
     if counts.size:
         p50, p99 = np.percentile(counts, [50, 99]).astype(int)
         print(
-            f"{split}: points/scan min={counts.min()} p50={p50} "
+            f"{split}: {kind_note}/scan min={counts.min()} p50={p50} "
             f"p99={p99} max={counts.max()}"
         )
         if point_counts is not None:
-            point_counts[split] = counts
+            point_counts[counts_key or split] = counts
 
     cache = None
     if image_cache_dir:
@@ -315,6 +340,10 @@ def check_point_budgets(
     - train.eval_n_points must cover the target VAL/TEST splits' MAX: the
       reference evaluates every in-bounds point, so a too-small eval
       budget is flagged as a problem, not a preference.
+
+    Counts are in-grid per-scan counts (see _in_grid_count) — the quantity
+    the runtime budget applies to, and a tight upper bound on loaded
+    points (image-FoV crops can only reduce it).
     """
     tr = cfg.get("train", {})
     n_points = int(tr.get("n_points", 8192))
@@ -383,6 +412,12 @@ def run_from_config(cfg: Dict, sample: int = 5) -> int:
                     image_cache_dir=side_cfg.get("image_cache_dir"),
                     num_classes_raw=_raw_classes(kind), sample=sample,
                     point_counts=counts,
+                    # source/target TRAIN splits may share a name
+                    # (a2d2/vkitti -> semantic_kitti both use "train")
+                    counts_key=f"{side}/{split}",
+                    scale=specific.get("scale"),
+                    full_scale=specific.get("full_scale"),
+                    camera_coords=bool(specific.get("camera_coords")),
                 )
         if not any_split:
             doc.problem(f"{side}: no TRAIN/VAL/TEST splits configured")

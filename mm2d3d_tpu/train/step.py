@@ -215,6 +215,24 @@ class MM2D3DTask:
             return self.loss_composer("segmentation", logits, labels, mask)
         return weighted_cross_entropy(logits, labels, mask, self.class_weights)
 
+    def _seg_loss_weight(self, labels, mask):
+        """Denominator of the masked-mean segmentation loss over these
+        points: sum of per-point CLASS weights over valid points (the
+        plain count when unweighted — weighted_cross_entropy normalizes
+        by sum(w), losses.py).  The sharded eval and the trainer
+        recombine per-shard/batch losses as sum(loss*w)/sum(w); using the
+        loss's own denominator keeps that recombination exact under
+        class-weighted CE, where a class-skewed shard (e.g. the padded
+        tail batch) weighted by raw point count would bias the reported
+        val loss."""
+        cw = (self.loss_composer.class_weights("segmentation")
+              if self.loss_composer is not None else self.class_weights)
+        valid = ((labels != -100) & mask).astype(jnp.float32)
+        if cw is None:
+            return jnp.sum(valid)
+        w = jnp.asarray(cw, jnp.float32)[jnp.where(valid > 0, labels, 0)]
+        return jnp.sum(w * valid)
+
     # -- train ---------------------------------------------------------------
 
     def _pmean(self, x):
@@ -393,15 +411,14 @@ class MM2D3DTask:
             ),
         )
         logs = {"loss_segmentation": loss_2d, "loss_segmentation_3d": loss_3d}
-        # number of valid labeled points behind the masked-mean losses: the
-        # sharded eval step and the trainer's cross-batch average weight the
-        # losses by it, so batches/shards that are partly (or, on a filler
-        # tail shard, entirely) padding don't bias the reported val loss —
-        # an all-filler shard's masked mean collapses to 0 and its weight
-        # to 0, so it simply drops out of the weighted mean
-        logs["valid_weight"] = jnp.sum(
-            ((labels != -100) & mask).astype(jnp.float32)
-        )
+        # the masked-mean losses' own denominator (class-weight sum over
+        # valid points): the sharded eval step and the trainer's
+        # cross-batch average weight the losses by it, so batches/shards
+        # that are partly (or, on a filler tail shard, entirely) padding
+        # don't bias the reported val loss — an all-filler shard's masked
+        # mean collapses to 0 and its weight to 0, so it simply drops out
+        # of the weighted mean — and class-weighted CE recombines exactly
+        logs["valid_weight"] = self._seg_loss_weight(labels, mask)
         # hits dropped by the slot-compacted conv tables: at inference this
         # would otherwise be completely silent (train_step logs it too)
         logs["nbr_slot_overflow"] = sum(

@@ -35,6 +35,17 @@ from ..utils.logging import rank_zero
 from .metrics import iou_per_class
 from .step import EvalMetrics, MM2D3DTask, TrainState
 
+# capacity-overflow monitors -> suggested remedy; an overflow corrupts
+# GRADIENTS (train.batch.default_slot_caps), so both trainer log paths
+# (per-step flush with a logger, epoch-end history scan without) warn
+_OVERFLOW_FIXES = {
+    "train/nbr_slot_overflow":
+        "raise the slot caps (train.slot_profile: dense for 64-beam "
+        "scans, or explicit slot_caps)",
+    "train/voxel_overflow_levels":
+        "raise the level capacities (train.batch.default_capacities)",
+}
+
 
 class CheckpointIO:
     """last/best_2d/best_3d checkpoints + metadata via orbax.
@@ -212,6 +223,7 @@ class Trainer:
             self.init_or_resume(self._to_device(first), resume=resume)
 
         pending_logs = None  # (step, device logs) awaiting batched readback
+        overflow_hist = []  # logger=None: retained per-step overflow scalars
         self._overflow_warned = set()
         for epoch in range(self.start_epoch, self.max_epochs):
             self.source_loader.set_epoch(epoch)
@@ -273,6 +285,15 @@ class Trainer:
                 # ~1.4 ms each, more than the whole train step saves
                 if pending_logs is not None and self.logger is not None:
                     self._flush_train_logs(*pending_logs)
+                elif pending_logs is not None:
+                    # no logger: skip the per-step readback but RETAIN the
+                    # overflow device scalars (references only, no
+                    # dispatch) — scanned at epoch end so a mid-epoch
+                    # capacity overflow still warns
+                    s_prev, l_prev = pending_logs
+                    overflow_hist.append((s_prev, {
+                        k: l_prev[k] for k in _OVERFLOW_FIXES if k in l_prev
+                    }))
                 pending_logs = (self.global_step, logs)
                 if self.limit_train_batches and n >= self.limit_train_batches:
                     break
@@ -283,6 +304,8 @@ class Trainer:
                 # epoch in that case)
                 self._flush_train_logs(*pending_logs)
                 pending_logs = None
+            self._check_overflow_history(overflow_hist)
+            overflow_hist = []
             if self._rank0:
                 print(
                     f"epoch {epoch}: {n} steps in {time.time() - t_epoch:.1f}s",
@@ -294,6 +317,36 @@ class Trainer:
 
         return self.state
 
+    def _warn_overflow(self, key: str, value: float, step: int) -> None:
+        if key in self._overflow_warned:
+            return
+        self._overflow_warned.add(key)
+        if self._rank0:
+            print(
+                f"WARNING: {key} = {value:.0f} at step {step} — "
+                f"dropped topology entries make the computed gradients "
+                f"inconsistent with the forward; {_OVERFLOW_FIXES[key]}.",
+                flush=True,
+            )
+
+    def _check_overflow_history(self, hist) -> None:
+        """logger=None path: per-step flushes are skipped (each readback
+        over this backend costs more than a train step), so the fit loop
+        RETAINS the per-step overflow device scalars — zero extra
+        dispatches — and this scans them once per epoch.  Without it, an
+        overflow on any batch but the epoch's last would go unwarned."""
+        if not hist:
+            return
+        for key in _OVERFLOW_FIXES:
+            entries = [(s, d[key]) for s, d in hist if key in d]
+            if not entries:
+                continue
+            arr = np.asarray(jnp.stack([v for _, v in entries]))
+            nz = np.nonzero(arr > 0)[0]
+            if nz.size:
+                self._warn_overflow(
+                    key, float(arr[nz[0]]), entries[int(nz[0])][0])
+
     def _flush_train_logs(self, step: int, logs) -> None:
         keys = list(logs)
         vals = np.asarray(
@@ -302,22 +355,9 @@ class Trainer:
         host = dict(zip(keys, map(float, vals)))
         # capacity monitors: a scalar in the metric stream is easy to miss,
         # and slot overflow corrupts GRADIENTS (train.batch.default_slot_caps)
-        for key, fix in (
-            ("train/nbr_slot_overflow",
-             "raise the slot caps (train.slot_profile: dense for 64-beam "
-             "scans, or explicit slot_caps)"),
-            ("train/voxel_overflow_levels",
-             "raise the level capacities (train.batch.default_capacities)"),
-        ):
-            if host.get(key, 0.0) > 0 and key not in self._overflow_warned:
-                self._overflow_warned.add(key)
-                if self._rank0:
-                    print(
-                        f"WARNING: {key} = {host[key]:.0f} at step {step} — "
-                        f"dropped topology entries make the computed gradients "
-                        f"inconsistent with the forward; {fix}.",
-                        flush=True,
-                    )
+        for key in _OVERFLOW_FIXES:
+            if host.get(key, 0.0) > 0:
+                self._warn_overflow(key, host[key], step)
         if self.logger is not None:
             self.logger.log_metrics(
                 {**host, **self.task.current_lrs(step)}, step,

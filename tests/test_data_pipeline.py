@@ -544,6 +544,23 @@ def test_eval_n_points_budget(nusc_dir):
     test2 = next(iter(dm2.target_test))
     assert test2.coords.shape[1] == 512
 
+    # an image_normalizer under `augmentations` only reaches the TRAIN
+    # datasets (reference load_datamodule does the same) — a silent
+    # train/eval input mismatch; the registry must refuse loudly and point
+    # at `specific`, which a) reaches all four datasets and b) forces the
+    # host image path everywhere
+    with pytest.raises(ValueError, match="specific"):
+        load_datamodule(
+            "nuscenes", n_points=128,
+            augmentations=dict(image_normalizer=((0.5,) * 3, (0.5,) * 3)),
+            **kw)
+    norm_kw = dict(kw, specific=dict(
+        kw["specific"], image_normalizer=((0.5,) * 3, (0.5,) * 3)))
+    dm3 = load_datamodule("nuscenes", n_points=128, **norm_kw)
+    for ds in (dm3.source_train.dataset, dm3.target_val.dataset):
+        assert ds.image_normalizer is not None
+        assert not ds.device_image_ops
+
 
 def test_doctor_point_budget(tmp_path, rng, capsys):
     """doctor scans each split's point-count distribution, recommends both
@@ -603,6 +620,35 @@ def test_doctor_point_budget(tmp_path, rng, capsys):
     rc = doctor.run_from_config(cfg)
     out = capsys.readouterr().out
     assert rc == 0, out
+
+    # With scale/full_scale configured the budget is checked against
+    # IN-GRID counts (what pad_sample actually truncates), not raw record
+    # lengths: 100 of val's 300 points land far outside the grid, so an
+    # eval budget of 256 (< 300 raw, >= 200 in-grid) is fine.
+    import pickle as pkl_mod
+
+    far = rec(300)
+    far["points"] = np.concatenate([
+        rng.rand(200, 3).astype(np.float32),          # cluster: in grid
+        rng.rand(100, 3).astype(np.float32) + 1000.0,  # far: out of grid
+    ])
+    with open(osp.join(root, "val_singapore.pkl"), "wb") as f:
+        pkl_mod.dump([far], f)
+    cfg["dataset"]["specific"].update(scale=20, full_scale=4096)
+    cfg["train"]["eval_n_points"] = 256
+    rc = doctor.run_from_config(cfg)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "in-grid points" in out
+
+    # source and target TRAIN splits sharing a name must not overwrite
+    # each other's distributions (a2d2/vkitti -> skitti both use "train")
+    counts = {}
+    for key in ("source/train", "target/train"):
+        doctor.check_split(doctor.Doctor(), "nuscenes", root,
+                           "train_usa", point_counts=counts, counts_key=key)
+    capsys.readouterr()
+    assert set(counts) == {"source/train", "target/train"}
 
 
 def test_pooled_loader_early_exit_and_close(nusc_dir):

@@ -48,6 +48,53 @@ def test_weighted_ce_matches_torch(rng):
     np.testing.assert_allclose(got2, ref2, rtol=1e-5)
 
 
+def test_valid_weight_recombines_class_weighted_ce_exactly(rng):
+    """Sharded/batched eval recombines per-shard masked-mean losses as
+    sum(loss*valid_weight)/sum(valid_weight).  With CLASS-weighted CE the
+    masked mean is normalized by the class-weight sum, so valid_weight
+    must be that sum (task._seg_loss_weight), not the raw point count —
+    this asserts the recombination equals the single-shot global loss on
+    class-skewed shards, where count weighting is measurably wrong."""
+    from mm2d3d_tpu.train.step import MM2D3DTask
+
+    c = 4
+    weights = np.array([1.0, 2.8, 0.7, 1.5], np.float32)
+    task = MM2D3DTask(num_classes=c, full_scale=64, num_planes=2, m=4,
+                      class_weights=weights)
+
+    # two shards with very different class mixes + some padding/ignore
+    def shard(classes, m):
+        logits = rng.randn(m, c).astype(np.float32)
+        labels = rng.choice(classes, m).astype(np.int64)
+        mask = rng.rand(m) < 0.9
+        labels[rng.rand(m) < 0.1] = -100
+        return logits, labels, mask
+
+    shards = [shard([0, 3], 48), shard([1, 2], 80)]
+    losses = [
+        float(task._seg_loss(jnp.asarray(lg), jnp.asarray(lb), jnp.asarray(mk)))
+        for lg, lb, mk in shards
+    ]
+    vw = [
+        float(task._seg_loss_weight(jnp.asarray(lb), jnp.asarray(mk)))
+        for _, lb, mk in shards
+    ]
+    recombined = sum(l * w for l, w in zip(losses, vw)) / sum(vw)
+
+    glob = float(task._seg_loss(
+        jnp.concatenate([jnp.asarray(s[0]) for s in shards]),
+        jnp.concatenate([jnp.asarray(s[1]) for s in shards]),
+        jnp.concatenate([jnp.asarray(s[2]) for s in shards]),
+    ))
+    np.testing.assert_allclose(recombined, glob, rtol=1e-6)
+
+    # count weighting is NOT exact here (guards against regressing
+    # valid_weight back to a raw point count)
+    counts = [float(((s[1] != -100) & s[2]).sum()) for s in shards]
+    by_count = sum(l * n for l, n in zip(losses, counts)) / sum(counts)
+    assert abs(by_count - glob) > 1e-3
+
+
 def test_kl_matches_torch(rng):
     m, c = 48, 6
     student = rng.randn(m, c).astype(np.float32)

@@ -182,6 +182,32 @@ def test_overflow_warning_without_logger(tmp_path, monkeypatch, capsys):
     assert "gradients" in out.lower()
 
 
+def test_overflow_history_catches_mid_epoch(tmp_path, capsys):
+    """logger=None retains per-step overflow scalars and scans them at
+    epoch end: an overflow on a MIDDLE batch (not the epoch's last, which
+    the final flush covers) must still warn, with the offending step."""
+    import jax.numpy as jnp
+
+    trainer = Trainer(
+        _task(),
+        source_loader=SyntheticLoader(1, 0),
+        target_loader=SyntheticLoader(1, 50),
+        ckpt_dir=str(tmp_path / "ckpts"),
+        max_epochs=1,
+    )
+    trainer._overflow_warned = set()
+    hist = [
+        (s, {"train/nbr_slot_overflow": jnp.asarray(v, jnp.float32)})
+        for s, v in ((1, 0.0), (2, 7.0), (3, 0.0))  # middle step overflows
+    ]
+    trainer._check_overflow_history(hist)
+    out = capsys.readouterr().out
+    assert "WARNING: train/nbr_slot_overflow = 7 at step 2" in out
+    # dedup: a second scan stays silent
+    trainer._check_overflow_history(hist)
+    assert "WARNING" not in capsys.readouterr().out
+
+
 def test_trainer_fit_validate_resume(tmp_path):
     task = _task()
     logger = create_logger({}, out_dir=str(tmp_path))

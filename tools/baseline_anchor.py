@@ -100,8 +100,10 @@ def main():
     flops = [0]
 
     def hook(mod, inp, out):
+        # accumulates TOTAL flops across the batch; divided by the batch
+        # size once, below, to get per-scan cost
         k = mod.kernel_size[0] * mod.kernel_size[1]
-        flops[0] += 2 * out.numel() * inp[0].shape[1] * k // out.shape[0]
+        flops[0] += 2 * out.numel() * inp[0].shape[1] * k
 
     for enc in encoders:
         for m in enc.modules():
